@@ -1,0 +1,83 @@
+"""Generate synthetic paired-end MiSeq-style FASTQ for regression testing.
+
+Produces realistic overlapping pairs: a random amplicon per pair, the
+forward read from its 5' end and the reverse read as the reverse complement
+of its 3' end, with PHRED-dependent substitution errors, occasional Ns,
+B-cliff tails (PHRED 2 runs), and varying read/amplicon lengths -- the same
+regimes the reference's McBath regression dataset exercises.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+COMP = str.maketrans("ACGTN", "TGCAN")
+
+
+def revcomp(s: str) -> str:
+    return s.translate(COMP)[::-1]
+
+
+def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int):
+    amp_len = rng.randint(amp_min, amp_max)
+    amplicon = "".join(rng.choice("ACGT") for _ in range(amp_len))
+    fwd = amplicon[:read_len]
+    rev = revcomp(amplicon)[:read_len]
+
+    def corrupt(read: str):
+        quals = []
+        bases = []
+        # quality profile: high at 5', decaying; occasional B-cliff
+        cliff = rng.random() < 0.15
+        cliff_start = rng.randint(len(read) * 3 // 4, len(read)) if cliff \
+            else len(read)
+        for i, b in enumerate(read):
+            if i >= cliff_start:
+                q = 2
+            else:
+                q = max(2, min(40, int(rng.gauss(38 - 14 * i / len(read), 4))))
+            p_err = 10.0 ** (-q / 10.0)
+            if rng.random() < p_err:
+                if rng.random() < 0.1:
+                    b = "N"
+                    q = 2
+                else:
+                    b = rng.choice([c for c in "ACGT" if c != b])
+            bases.append(b)
+            quals.append(q)
+        return "".join(bases), "".join(chr(33 + q) for q in quals)
+
+    return corrupt(fwd), corrupt(rev)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=200)
+    ap.add_argument("--read-len", type=int, default=250)
+    ap.add_argument("--amp-min", type=int, default=300)
+    ap.add_argument("--amp-max", type=int, default=460)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out-prefix", default="tests/data/synth")
+    ap.add_argument("--tag", default="ACGTAC",
+                    help="index tag in headers ('' for none)")
+    args = ap.parse_args()
+
+    rng = random.Random(args.seed)
+    import os
+    os.makedirs(os.path.dirname(args.out_prefix) or ".", exist_ok=True)
+    fa = open(args.out_prefix + "_1.fastq", "w")
+    fb = open(args.out_prefix + "_2.fastq", "w")
+    for n in range(args.pairs):
+        (fs, fq), (rs, rq) = make_pair(rng, args.read_len, args.amp_min,
+                                       args.amp_max)
+        ident = (f"M00000:7:000000000-TEST1:1:1101:{10000 + n}:{2000 + n}")
+        fa.write(f"@{ident} 1:N:0:{args.tag}\n{fs}\n+\n{fq}\n")
+        fb.write(f"@{ident} 2:N:0:{args.tag}\n{rs}\n+\n{rq}\n")
+    fa.close()
+    fb.close()
+    print(f"wrote {args.pairs} pairs to {args.out_prefix}_[12].fastq")
+
+
+if __name__ == "__main__":
+    main()

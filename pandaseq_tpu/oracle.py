@@ -517,10 +517,19 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
 
 
 def log1mexp(p: float) -> float:
-    """panda_log1mexp (offset.c:35-38)."""
-    if p > math.log(2):
-        return math.log1p(-math.exp(-p))
-    return math.log(-math.expm1(-p))
+    """panda_log1mexp (offset.c:35-38).
+
+    FAITHFUL QUIRK: the reference calls this with NEGATIVE log
+    probabilities (result_base_score, offset.c:114-122), for which
+    log(-expm1(-p)) is the log of a negative number == NaN in C. The NaN
+    propagates through the alignment sum, so post-assembly primer location
+    (-a) only ever accepts alignments where every non-N primer base
+    matches. We reproduce the NaN rather than 'fixing' the math.
+    """
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if p > math.log(2):
+            return float(np.log1p(-np.exp(-p)))
+        return float(np.log(-np.expm1(-p)))
 
 
 def compute_offset(threshold, penalty, reverse, bases_nt, probs, notprobs,

@@ -19,9 +19,14 @@ def revcomp(s: str) -> str:
     return s.translate(COMP)[::-1]
 
 
-def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int):
+def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int,
+              fwd_primer: str = "", rev_primer: str = ""):
     amp_len = rng.randint(amp_min, amp_max)
-    amplicon = "".join(rng.choice("ACGT") for _ in range(amp_len))
+    amplicon = (fwd_primer
+                + "".join(rng.choice("ACGT")
+                          for _ in range(amp_len - len(fwd_primer)
+                                         - len(rev_primer)))
+                + revcomp(rev_primer))
     fwd = amplicon[:read_len]
     rev = revcomp(amplicon)[:read_len]
 
@@ -61,6 +66,10 @@ def main():
     ap.add_argument("--out-prefix", default="tests/data/synth")
     ap.add_argument("--tag", default="ACGTAC",
                     help="index tag in headers ('' for none)")
+    ap.add_argument("--fwd-primer", default="",
+                    help="primer prepended to the amplicon 5' end")
+    ap.add_argument("--rev-primer", default="",
+                    help="primer whose revcomp ends the amplicon")
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
@@ -70,7 +79,8 @@ def main():
     fb = open(args.out_prefix + "_2.fastq", "w")
     for n in range(args.pairs):
         (fs, fq), (rs, rq) = make_pair(rng, args.read_len, args.amp_min,
-                                       args.amp_max)
+                                       args.amp_max, args.fwd_primer,
+                                       args.rev_primer)
         ident = (f"M00000:7:000000000-TEST1:1:1101:{10000 + n}:{2000 + n}")
         fa.write(f"@{ident} 1:N:0:{args.tag}\n{fs}\n+\n{fq}\n")
         fb.write(f"@{ident} 2:N:0:{args.tag}\n{rs}\n+\n{rq}\n")

@@ -1,0 +1,473 @@
+"""Batched assembler: TPU scoring/reconstruction + exact f64 host
+finalization.
+
+Pipeline per batch (see SURVEY.md section 7 and ops/align.py):
+
+  1. host: decode read pairs into padded [B, L] int8 tensors
+  2. device (ops.align.score_batch): exact integer match/mismatch/unknown
+     counts and the k-mer candidate mask for EVERY overlap offset
+  3. host: f64 overlap scores from the integer counts (bit-identical to
+     the reference's double math for the 5 count-based algorithms); for
+     pear/rdp_mle the device f32 sums prune candidates and the shortlist
+     is re-scored exactly in f64
+  4. device (ops.align.reconstruct_batch): merged bases + per-base
+     provenance codes for the winning overlap
+  5. host: exact f64 per-base probabilities from provenance, quality
+     (the reference's divide-by-len+1), primers, threshold, filters,
+     formatting
+
+Counter names mirror the reference STAT block (pool.c:83-104).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import oracle
+from .oracle import OracleConfig, OracleResult
+from .ops import align as dev_align
+from .tables import (QUAL_NN_SIMPLE_BAYESIAN, QUAL_SCORE, QUAL_SCORE_ERR,
+                     QUAL_MATCH_PEAR, QUAL_MISMATCH_PEAR,
+                     QUAL_MATCH_SIMPLE_BAYESIAN,
+                     QUAL_MISMATCH_SIMPLE_BAYESIAN,
+                     QUAL_MISMATCH_RDP_MLE)
+
+_NN = QUAL_NN_SIMPLE_BAYESIAN
+_EPS = 0.01  # f32 pruning slack for pear/rdp (error bound ~3e-4 at L=450)
+
+
+@dataclass
+class Batch:
+    sids: list
+    fwd_nt: np.ndarray  # [B, L] int8
+    fwd_q: np.ndarray
+    rev_nt: np.ndarray
+    rev_q: np.ndarray
+    flen: np.ndarray  # [B] int32
+    rlen: np.ndarray
+    pairs: list  # original ReadPair objects (for exact re-scoring)
+
+
+def make_batch(pairs, L: int) -> Batch:
+    B = len(pairs)
+    fwd_nt = np.zeros((B, L), dtype=np.int8)
+    fwd_q = np.zeros((B, L), dtype=np.int8)
+    rev_nt = np.zeros((B, L), dtype=np.int8)
+    rev_q = np.zeros((B, L), dtype=np.int8)
+    flen = np.zeros(B, dtype=np.int32)
+    rlen = np.zeros(B, dtype=np.int32)
+    n = pairs[0].fwd_nt.shape[0]
+    for b, p in enumerate(pairs):
+        fwd_nt[b, :n] = p.fwd_nt
+        fwd_q[b, :n] = p.fwd_q  # full persistent-buffer snapshot (pear)
+        rev_nt[b, :n] = p.rev_nt
+        rev_q[b, :n] = p.rev_q
+        flen[b] = p.flen
+        rlen[b] = p.rlen
+    return Batch([p.sid for p in pairs], fwd_nt, fwd_q, rev_nt, rev_q,
+                 flen, rlen, list(pairs))
+
+
+def _scores_from_counts(algo, m, mm, unk, valid, flen, rlen, o):
+    """Vectorized f64 overlap scores from exact integer counts, matching
+    each algorithm's C expression term-for-term."""
+    m = m.astype(np.float64)
+    mmf = mm.astype(np.float64)
+    unkf = unk.astype(np.float64)
+    name = algo.name
+    if name in ("simple_bayesian", "uparse"):
+        tail = (o < flen) | (o < rlen)
+        nn_count = np.where(tail, flen + rlen - 2 * o + unk, unk)
+        return (_NN * nn_count.astype(np.float64) + m * algo.pmatch
+                + mmf * algo.pmismatch)
+    if name == "ea_util":
+        bad = mm + unk  # N or non-matching (algo_ea_util.c:49-51)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.log((bad.astype(np.float64) * bad + 1)
+                          / valid.astype(np.float64))
+    if name == "flash":
+        bad = mm + unk
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(valid > 0, bad // np.maximum(valid, 1), 0)
+            s = np.where(ratio > 0, np.log(ratio.astype(np.float64)), -np.inf)
+        return np.where(valid == 0, -2.0, s)
+    if name == "stitch":
+        s = (m.astype(np.int64) - mm.astype(np.int64)).astype(np.uint64)
+        val = s.astype(np.float64) / (flen + rlen).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            return np.where(val > 0, np.log(np.maximum(val, 1e-300)), -np.inf)
+    raise ValueError(name)
+
+
+def _exact_rescore(algo, pair, o_list):
+    """Sequential-order f64 re-score of selected overlaps (pear/rdp)."""
+    return {int(o): algo.overlap_probability(
+        pair.fwd_nt, pair.fwd_q, pair.flen, pair.rev_nt, pair.rev_q,
+        pair.rlen, int(o)) for o in o_list}
+
+
+# per-algorithm [2, 47, 47] match-probability tables for vectorized host
+# reconstruction p lookup; formula algorithms are handled separately
+_MP_TABLES = {
+    "simple_bayesian": (QUAL_MATCH_SIMPLE_BAYESIAN,
+                        QUAL_MISMATCH_SIMPLE_BAYESIAN),
+    "stitch": (QUAL_MATCH_SIMPLE_BAYESIAN, QUAL_MISMATCH_SIMPLE_BAYESIAN),
+    "pear": (QUAL_MATCH_PEAR, QUAL_MISMATCH_PEAR),
+}
+
+
+def _match_probability_vec(algo, ismatch, fq, rq):
+    """Vectorized f64 match_probability over provenance arrays."""
+    name = algo.name
+    fq = np.clip(fq, 0, 46).astype(np.int32)
+    rq = np.clip(rq, 0, 46).astype(np.int32)
+    if name in _MP_TABLES:
+        mt, mmt = _MP_TABLES[name]
+        return np.where(ismatch, mt[fq, rq], mmt[fq, rq])
+    if name == "uparse":
+        from .tables import QUAL_MATCH_UPARSE, QUAL_MISMATCH_UPARSE
+        return np.where(ismatch, QUAL_MATCH_UPARSE[fq, rq],
+                        QUAL_MISMATCH_UPARSE[fq, rq])
+    if name == "rdp_mle":
+        from .tables import QUAL_MISMATCH_ASSEMBLED_RDP_MLE
+        return np.where(ismatch, QUAL_SCORE[np.maximum(fq, rq)],
+                        QUAL_MISMATCH_ASSEMBLED_RDP_MLE[fq, rq])
+    if name == "ea_util":
+        return QUAL_SCORE[np.maximum(fq, rq)]
+    if name == "flash":
+        diff = np.maximum(np.abs(fq - rq), 2)
+        return np.where(ismatch, QUAL_SCORE[np.maximum(fq, rq)],
+                        QUAL_SCORE[diff])
+    raise ValueError(name)
+
+
+def _compute_offsets_vec(threshold, penalty, reverse, nt, probs, notprobs,
+                         seq_len, primer):
+    """Vectorized panda_compute_offset over a batch (offset.c:47-90).
+
+    Builds the value the C loop computes at every check index (0..S-1):
+    indices < primerlen read a circular-buffer slot still at -INFINITY
+    (value reduces to -index*penalty); indices >= primerlen hold the
+    complete alignment starting at s = index - primerlen. Winner = first
+    occurrence of the maximum, if strictly above exp(primerlen*threshold).
+    Primers longer than the sequence return 0 (offset.c:62-64).
+    """
+    B, S = nt.shape
+    plen = len(primer)
+    pos = np.arange(S)[None, :]
+    rows = np.arange(B)[:, None]
+    if reverse:
+        # scan coordinate i reads actual position seq_len-1-i
+        idx = seq_len[:, None] - 1 - pos
+        ok = idx >= 0
+        idxc = np.clip(idx, 0, S - 1)
+        nt_s = np.where(ok, nt[rows, idxc], 0)
+        p_s = np.where(ok, probs[rows, idxc], 0.0)
+        np_s = np.where(ok, notprobs[rows, idxc], 0.0)
+    else:
+        nt_s, p_s, np_s = nt, probs, notprobs
+    # A[b, s] = alignment score for start s, accumulated in ascending x —
+    # the same order the C circular buffer receives contributions.
+    A = np.zeros((B, S), dtype=np.float64)
+    for x in range(plen):
+        px = int(primer[x])
+        if px == 0x0F:
+            continue  # N primer bases contribute nothing (offset.c:80)
+        sh_nt = np.roll(nt_s, -x, axis=1)
+        sh_p = np.roll(p_s, -x, axis=1)
+        sh_np = np.roll(np_s, -x, axis=1)
+        A += np.where((sh_nt & px) != 0, sh_p, sh_np)
+    # value at check index i
+    checkvals = np.full((B, S), -np.inf)
+    i_head = pos.astype(np.float64)
+    head = 0.0 - i_head * penalty
+    tail_start = np.roll(A, plen, axis=1)  # A[s = i - plen] at index i
+    i_all = pos.astype(np.float64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        tail = np.exp(tail_start / (i_all + 1)) - i_all * penalty
+    checkvals = np.where(pos < plen, head, tail)
+    checkvals = np.where(pos < seq_len[:, None], checkvals, -np.inf)
+    checkvals = np.where(np.isnan(checkvals), -np.inf, checkvals)
+    bestpr = math.exp(plen * threshold)
+    best = checkvals.max(axis=1)
+    arg = checkvals.argmax(axis=1)  # first occurrence == C's strict >
+    result = np.where(best > bestpr, arg + 1, 0)
+    return np.where(seq_len < plen, 0, result).astype(np.int64)
+
+
+@dataclass
+class Counters:
+    """The reference's per-assembler STAT counters (pool.c:83-104)."""
+    count: int = 0
+    nofp: int = 0
+    norp: int = 0
+    noalgn: int = 0
+    lowq: int = 0
+    badread: int = 0
+    slow: int = 0
+    ok: int = 0
+    overlaps: dict = field(default_factory=dict)
+
+    def record_overlap(self, o):
+        self.overlaps[o] = self.overlaps.get(o, 0) + 1
+
+
+class BatchAssembler:
+    """Assembles batches of read pairs with reference-identical output."""
+
+    def __init__(self, cfg: OracleConfig | None = None, L: int = 512,
+                 modules=()):
+        self.cfg = cfg or OracleConfig()
+        self.L = L
+        self.modules = list(modules)
+        self.counters = Counters()
+        algo = self.cfg.algorithm
+        self._algo_kind = ("pear" if algo.name == "pear" else
+                           "rdp_mle" if algo.name == "rdp_mle" else "counts")
+        if self._algo_kind == "pear":
+            self._lut_m, self._lut_mm = QUAL_MATCH_PEAR, QUAL_MISMATCH_PEAR
+            self._nn_term = -algo.random_base
+        elif self._algo_kind == "rdp_mle":
+            self._lut_m = QUAL_MATCH_SIMPLE_BAYESIAN - _NN
+            self._lut_mm = QUAL_MISMATCH_RDP_MLE - _NN
+            self._nn_term = 0.0
+        else:
+            self._lut_m = self._lut_mm = None
+            self._nn_term = 0.0
+
+    # ------------------------------------------------------------------
+    def assemble_batch(self, pairs):
+        """Returns a list of (code, OracleResult|None) preserving order."""
+        cfg = self.cfg
+        B = len(pairs)
+        batch = make_batch(pairs, self.L)
+        out = [(None, None)] * B
+        self.counters.count += B
+
+        flen, rlen = batch.flen.astype(np.int64), batch.rlen.astype(np.int64)
+
+        # --- stage 0: badread + primer offsets (host) ---
+        badread = (flen < 2) | (rlen < 2)
+        # post-primer mode aligns with zero offsets (assembler.c:285-288)
+        init_fo = 0 if cfg.post_primers else cfg.forward_trim
+        init_ro = 0 if cfg.post_primers else cfg.reverse_trim
+        fo = np.full(B, init_fo, dtype=np.int64)
+        ro = np.full(B, init_ro, dtype=np.int64)
+        nofp = np.zeros(B, dtype=bool)
+        norp = np.zeros(B, dtype=bool)
+        if not cfg.post_primers:
+            if cfg.forward_primer is not None and len(cfg.forward_primer):
+                probs = QUAL_SCORE[np.clip(batch.fwd_q, 0, 46)]
+                notp = QUAL_SCORE_ERR[np.clip(batch.fwd_q, 0, 46)]
+                offv = _compute_offsets_vec(
+                    cfg.threshold, cfg.primer_penalty, False,
+                    batch.fwd_nt.astype(np.int32) & 0x0F, probs, notp,
+                    flen, cfg.forward_primer)
+                nofp = (offv == 0) & ~badread
+                fo = np.maximum(offv - 1, 0)
+            if cfg.reverse_primer is not None and len(cfg.reverse_primer):
+                probs = QUAL_SCORE[np.clip(batch.rev_q, 0, 46)]
+                notp = QUAL_SCORE_ERR[np.clip(batch.rev_q, 0, 46)]
+                offv = _compute_offsets_vec(
+                    cfg.threshold, cfg.primer_penalty, False,
+                    batch.rev_nt.astype(np.int32) & 0x0F, probs, notp,
+                    rlen, cfg.reverse_primer)
+                norp = (offv == 0) & ~badread & ~nofp
+                ro = np.maximum(offv - 1, 0)
+        shortread = (np.minimum(flen, rlen) < cfg.minoverlap) & ~badread \
+            & ~nofp & ~norp
+
+        # --- stage 1: device scoring ---
+        dev = dev_align.score_batch(
+            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
+            batch.flen, batch.rlen, L=self.L,
+            num_kmers=cfg.num_kmers, algo_kind=self._algo_kind,
+            lut_match=self._lut_m, lut_mismatch=self._lut_mm,
+            nn_term=self._nn_term)
+        m = np.asarray(dev["matches"])
+        mm = np.asarray(dev["mismatches"])
+        unk = np.asarray(dev["unknowns"])
+        valid = np.asarray(dev["valid"])
+        cand = np.asarray(dev["cand"])
+
+        # --- stage 2: host f64 selection ---
+        o = np.arange(1, self.L + 1, dtype=np.int64)[None, :]
+        maxo = flen + rlen - cfg.minoverlap - fo - ro - 1
+        if cfg.maxoverlap == 0:
+            maxo = np.minimum(flen, rlen)
+        else:
+            maxo = np.minimum(maxo, cfg.maxoverlap)
+        negs = ((cfg.minoverlap + fo >= flen)
+                | (cfg.minoverlap + ro >= rlen))
+        in_range = (o >= cfg.minoverlap) & (o <= maxo[:, None])
+        cand_in = cand & in_range
+        none_found = ~cand_in.any(axis=1)
+        cand_in = np.where(none_found[:, None], in_range, cand_in)
+        examined = cand_in.sum(axis=1)
+        slow_mask = examined == (maxo - cfg.minoverlap + 1)
+
+        floor = _NN * (flen + rlen).astype(np.float64)
+        algo = cfg.algorithm
+        if self._algo_kind == "counts":
+            scores = _scores_from_counts(algo, m, mm, unk, valid,
+                                         flen[:, None], rlen[:, None], o)
+            scores = np.where(cand_in, scores, -np.inf)
+            scores = np.where(np.isnan(scores), -np.inf, scores)
+            best = scores.max(axis=1, initial=-np.inf)
+            besto = scores.argmax(axis=1) + 1  # first occurrence == C rule
+            aligned = best > floor
+        else:
+            f32 = np.asarray(dev["lutsum"]).astype(np.float64)
+            f32 = np.where(cand_in, f32, -np.inf)
+            best32 = f32.max(axis=1, initial=-np.inf)
+            aligned = np.zeros(B, dtype=bool)
+            besto = np.ones(B, dtype=np.int64)
+            best = np.full(B, -np.inf)
+            for b in range(B):
+                if badread[b] or nofp[b] or norp[b] or negs[b] \
+                        or shortread[b]:
+                    continue
+                sus = np.flatnonzero(
+                    cand_in[b] & ((f32[b] >= best32[b] - _EPS)
+                                  | (np.abs(f32[b] - floor[b]) <= _EPS)))
+                exact = _exact_rescore(algo, batch.pairs[b], sus + 1)
+                bb, bo = floor[b], -1
+                for oo in sorted(exact):
+                    if exact[oo] > bb:
+                        bb, bo = exact[oo], oo
+                if bo != -1:
+                    aligned[b] = True
+                    besto[b] = bo
+                    best[b] = bb
+
+        # --- stage 3: device reconstruction ---
+        rec = dev_align.reconstruct_batch(
+            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
+            batch.flen, batch.rlen, fo.astype(np.int32), ro.astype(np.int32),
+            besto.astype(np.int32), L=self.L)
+        nt = np.asarray(rec["nt"]).astype(np.int32)
+        case = np.asarray(rec["case"]).astype(np.int32)
+        fq = np.clip(np.asarray(rec["fq"]).astype(np.int32), 0, 46)
+        rq = np.clip(np.asarray(rec["rq"]).astype(np.int32), 0, 46)
+        seq_len = np.asarray(rec["seq_len"]).astype(np.int64)
+        degen = np.asarray(rec["degenerates"])
+        ovl_mm = np.asarray(rec["overlap_mismatches"])
+
+        # --- stage 4: exact per-base probabilities + quality (host f64) ---
+        mp = _match_probability_vec(algo, case == 3, fq, rq)
+        p = np.zeros_like(mp)
+        p = np.where(case == 1, QUAL_SCORE[fq], p)
+        p = np.where(case == 2, QUAL_SCORE[rq], p)
+        p = np.where((case == 3) | (case == 4), mp, p)
+        p = np.where(case == 5, _NN, p)
+        p = np.where(case == 6, QUAL_SCORE[rq], p)
+        p = np.where(case == 7, QUAL_SCORE[fq], p)
+
+        # region-ordered sequential sums: masked cumsum == the C loop's
+        # accumulation (adding 0.0 is exact)
+        is_fwd = (case == 1)
+        is_rev = (case == 2)
+        is_ovl = (case >= 3)
+        fsum = np.cumsum(np.where(is_fwd, p, 0.0), axis=1)[:, -1]
+        osum = np.cumsum(np.where(is_ovl, p, 0.0), axis=1)[:, -1]
+        rsum = np.cumsum(np.where(is_rev, p, 0.0), axis=1)[:, -1]
+        quality = (fsum + rsum + osum) / (seq_len + 1).astype(np.float64)
+
+        length_bad = (seq_len + 1 <= 0) | (seq_len + 1 > 2 * oracle.MAX_LEN)
+
+        # --- stage 5: verdicts + results ---
+        for b in range(B):
+            if badread[b] or shortread[b]:
+                out[b] = ("BADR", None)
+                self.counters.badread += 1
+                continue
+            if nofp[b]:
+                out[b] = ("NOFP", None)
+                self.counters.nofp += 1
+                continue
+            if norp[b]:
+                out[b] = ("NORP", None)
+                self.counters.norp += 1
+                continue
+            if negs[b]:
+                out[b] = ("NOALGN", None)
+                self.counters.noalgn += 1
+                continue
+            if slow_mask[b]:
+                self.counters.slow += 1
+            if not aligned[b] or length_bad[b]:
+                out[b] = ("NOALGN", None)
+                self.counters.noalgn += 1
+                continue
+            res = OracleResult()
+            res.sid = batch.sids[b]
+            n = int(seq_len[b])
+            res.sequence_nt = nt[b, :n].astype(np.int8)
+            res.sequence_p = p[b, :n]
+            res.sequence_length = n
+            res.quality = float(quality[b])
+            res.overlap = int(besto[b])
+            res.overlaps_examined = int(examined[b])
+            res.overlap_mismatches = int(ovl_mm[b])
+            res.degenerates = int(degen[b])
+            res.estimated_overlap_probability = float(best[b])
+            res.forward_offset = int(fo[b])
+            res.reverse_offset = int(ro[b])
+
+            code = self._post_primers_and_threshold(res)
+            if code != "OK":
+                out[b] = (code, res)
+                continue
+            keep = True
+            for mod in self.modules:
+                if not mod.check(res):
+                    mod.rejected += 1
+                    keep = False
+                    break
+            if not keep:
+                out[b] = ("MODULE", res)
+                continue
+            self.counters.ok += 1
+            self.counters.record_overlap(res.overlap)
+            out[b] = ("OK", res)
+        return out
+
+    def _post_primers_and_threshold(self, res):
+        cfg = self.cfg
+        if cfg.post_primers:
+            if cfg.forward_primer is not None and len(cfg.forward_primer):
+                off = oracle.compute_offset_result(
+                    cfg.threshold, cfg.primer_penalty, False,
+                    res.sequence_nt, res.sequence_p, res.sequence_length,
+                    cfg.forward_primer)
+                if off == 0:
+                    self.counters.nofp += 1
+                    return "NOFP"
+                res.forward_offset = off - 1
+            else:
+                res.forward_offset = cfg.forward_trim
+            if cfg.reverse_primer is not None and len(cfg.reverse_primer):
+                off = oracle.compute_offset_result(
+                    cfg.threshold, cfg.primer_penalty, True,
+                    res.sequence_nt, res.sequence_p, res.sequence_length,
+                    cfg.reverse_primer)
+                if off == 0:
+                    self.counters.norp += 1
+                    return "NORP"
+                res.reverse_offset = off - 1
+            else:
+                res.reverse_offset = cfg.reverse_trim
+            if res.sequence_length <= res.forward_offset + res.reverse_offset:
+                self.counters.nofp += 1
+                return "NOFP"
+            res.sequence_length -= res.forward_offset + res.reverse_offset
+            fo2 = res.forward_offset
+            res.sequence_nt = res.sequence_nt[fo2:fo2 + res.sequence_length]
+            res.sequence_p = res.sequence_p[fo2:fo2 + res.sequence_length]
+        if res.quality < cfg.threshold:
+            self.counters.lowq += 1
+            return "LOWQ"
+        return "OK"

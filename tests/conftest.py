@@ -1,13 +1,20 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Real-TPU benchmarking happens in bench.py, not under pytest; tests validate
-numerics and sharding on the host platform so they run anywhere.
+numerics and sharding on the host platform so they run anywhere. The
+environment may pre-set JAX_PLATFORMS (e.g. to the axon TPU tunnel) and
+pytest's plugin autoloading can import jax before this file runs, so the
+platform is forced through jax.config as well as the environment.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -61,7 +61,7 @@ def test_batch_counters_match_reference_stats():
     import subprocess
     from tests.test_oracle_golden import REF_BIN, _ensure_ref
     _ensure_ref()
-    log = subprocess.run([REF_BIN, "-f", F1, "-r", F2],
+    log = subprocess.run([REF_BIN, "-T", "1", "-f", F1, "-r", F2],
                          capture_output=True).stderr.decode()
     stats = dict(re.findall(r"STAT\t(\w+)\t(\d+)", log))
     _, counters = batch_output()

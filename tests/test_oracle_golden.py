@@ -33,7 +33,10 @@ def _ensure_ref():
 
 def ref_output(extra_args=()):
     _ensure_ref()
-    out = subprocess.run([REF_BIN, "-f", F1, "-r", F2, *extra_args],
+    # -T 1: single-threaded so output order is deterministic (pandaseq.1
+    # notes threaded order is nondeterministic) and STAT lines are global
+    out = subprocess.run([REF_BIN, "-T", "1", "-f", F1, "-r", F2,
+                          *extra_args],
                          capture_output=True, check=False)
     return out.stdout
 

@@ -28,7 +28,8 @@ def _ensure_primer_data():
 
 def ref_output(extra_args=()):
     _ensure_primer_data()
-    out = subprocess.run([REF_BIN, "-f", P1, "-r", P2, *extra_args],
+    out = subprocess.run([REF_BIN, "-T", "1", "-f", P1, "-r", P2,
+                          *extra_args],
                          capture_output=True, check=False)
     return out.stdout
 

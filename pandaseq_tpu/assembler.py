@@ -249,8 +249,25 @@ class BatchAssembler:
 
         flen, rlen = batch.flen.astype(np.int64), batch.rlen.astype(np.int64)
 
-        # --- stage 0: badread + primer offsets (host) ---
+        # --- stage 0: badread + precheck modules + primer offsets (host) ---
         badread = (flen < 2) | (rlen < 2)
+        # module prechecks run after the badread gate, before primers
+        # (assembler.c:259); sequential order matters (after:/before: are
+        # stateful stream-position gates)
+        prerej = np.zeros(B, dtype=bool)
+        pre_mods = [m for m in self.modules if m.precheck is not None]
+        if pre_mods:
+            for b in range(B):
+                if badread[b]:
+                    continue
+                p_ = batch.pairs[b]
+                for mod in pre_mods:
+                    if not mod.precheck(p_.sid, p_.fwd_nt, p_.fwd_q,
+                                        p_.flen, p_.rev_nt, p_.rev_q,
+                                        p_.rlen):
+                        mod.rejected += 1
+                        prerej[b] = True
+                        break
         # post-primer mode aligns with zero offsets (assembler.c:285-288)
         init_fo = 0 if cfg.post_primers else cfg.forward_trim
         init_ro = 0 if cfg.post_primers else cfg.reverse_trim
@@ -266,7 +283,7 @@ class BatchAssembler:
                     cfg.threshold, cfg.primer_penalty, False,
                     batch.fwd_nt.astype(np.int32) & 0x0F, probs, notp,
                     flen, cfg.forward_primer)
-                nofp = (offv == 0) & ~badread
+                nofp = (offv == 0) & ~badread & ~prerej
                 fo = np.maximum(offv - 1, 0)
             if cfg.reverse_primer is not None and len(cfg.reverse_primer):
                 probs = QUAL_SCORE[np.clip(batch.rev_q, 0, 46)]
@@ -275,10 +292,10 @@ class BatchAssembler:
                     cfg.threshold, cfg.primer_penalty, False,
                     batch.rev_nt.astype(np.int32) & 0x0F, probs, notp,
                     rlen, cfg.reverse_primer)
-                norp = (offv == 0) & ~badread & ~nofp
+                norp = (offv == 0) & ~badread & ~prerej & ~nofp
                 ro = np.maximum(offv - 1, 0)
         shortread = (np.minimum(flen, rlen) < cfg.minoverlap) & ~badread \
-            & ~nofp & ~norp
+            & ~prerej & ~nofp & ~norp
 
         # --- stage 1: device scoring ---
         dev = dev_align.score_batch(
@@ -327,8 +344,8 @@ class BatchAssembler:
             besto = np.ones(B, dtype=np.int64)
             best = np.full(B, -np.inf)
             for b in range(B):
-                if badread[b] or nofp[b] or norp[b] or negs[b] \
-                        or shortread[b]:
+                if badread[b] or prerej[b] or nofp[b] or norp[b] \
+                        or negs[b] or shortread[b]:
                     continue
                 sus = np.flatnonzero(
                     cand_in[b] & ((f32[b] >= best32[b] - _EPS)
@@ -380,7 +397,14 @@ class BatchAssembler:
 
         # --- stage 5: verdicts + results ---
         for b in range(B):
-            if badread[b] or shortread[b]:
+            if badread[b]:
+                out[b] = ("BADR", None)
+                self.counters.badread += 1
+                continue
+            if prerej[b]:  # precheck reject: no STAT counter
+                out[b] = ("MODULE", None)
+                continue
+            if shortread[b]:
                 out[b] = ("BADR", None)
                 self.counters.badread += 1
                 continue
@@ -416,6 +440,8 @@ class BatchAssembler:
             res.estimated_overlap_probability = float(best[b])
             res.forward_offset = int(fo[b])
             res.reverse_offset = int(ro[b])
+            res.forward_length = int(flen[b])
+            res.reverse_length = int(rlen[b])
 
             code = self._post_primers_and_threshold(res)
             if code != "OK":
@@ -423,7 +449,7 @@ class BatchAssembler:
                 continue
             keep = True
             for mod in self.modules:
-                if not mod.check(res):
+                if mod.check is not None and not mod.check(res):
                     mod.rejected += 1
                     keep = False
                     break

@@ -1,0 +1,441 @@
+"""The ``pandaseq`` command-line interface, flag-compatible with the
+reference (args.c, args_fastq.c, args_assembler.c).
+
+Flags: -6 -a -A -B -C -d -D -f -F -g -G -h -i -j -k -l -L -N -o -O -p -q
+-r -t -T -u -U -v -w -W   (pandaseq.1)
+
+The pipeline built from argv mirrors panda_parse_args (args.c:420-599):
+writer -> logger -> opener -> (async reader) -> assembler -> options ->
+fail handler, then the pool loop (pool.c) — here the batch engine over
+the TPU device pipeline.
+"""
+
+from __future__ import annotations
+
+import bz2 as bz2_mod
+import getopt
+import math
+import sys
+import time
+
+import numpy as np
+
+from .. import filters, oracle, stats
+from .. import seqid as seqid_mod
+from ..assembler import BatchAssembler
+from ..io import fastq as fq
+from ..io import output as out_mod
+from ..nt import nt_from_ascii, nt_from_ascii_complement
+
+VERSION = "pandaseq_tpu 1.0 (pandaseq 2.11 compatible)"
+MAX_LEN = 450
+
+# flag -> takes_argument (merged general+fastq+assembler tweak tables)
+_OPTSTRING = "6aA:BC:d:D:f:Fg:G:hi:jk:l:L:No:O:p:q:r:t:T:u:U:vw:W:"
+
+
+class ArgsError(Exception):
+    pass
+
+
+def _err(msg):
+    sys.stderr.write(msg + "\n")
+
+
+def show_help(logger, prog="pandaseq"):
+    """Auto help (args.c:203-274): usage line, flag help, algorithm and
+    module listings."""
+    _err("%s <%s>" % (VERSION, "pandaseq_tpu"))
+    usage = ("Usage: %s -f forward.fastq -r reverse.fastq "
+             "[-6] [-a] [-A algorithm:parameters] [-B] [-C module1 -C "
+             "module2 ...] [-d flags] [-D threshold] [-F] [-g log.txt | "
+             "-G log.txt.bz2] [-h] [-i index.fastq] [-k kmers] [-l length] "
+             "[-L length] [-N] [-o length] [-O length] [-p primer] "
+             "[-q primer] [-t threshold] [-T threads] [-u unaligned.txt | "
+             "-U unaligned.txt] [-v] [-w output.fasta | -W "
+             "output.fasta.bz2]" % prog)
+    _err(usage)
+    for line in [
+        "\t-6\tUse PHRED+64 (CASAVA 1.3-1.7) instead of PHRED+33 "
+        "(CASAVA 1.8+).",
+        "\t-a\tStrip the primers after assembly, rather than before.",
+        "\t-A algorithm:parameters\tThe algorithm to use for assembly.",
+        "\t-B\tAllow unbarcoded sequences (try this for BADID errors).",
+        "\t-C module\tLoad a pluggable filter module.",
+        "\t-d flags\tControl the logging messages. Capital to enable; "
+        "small to disable.",
+        "\t-D threshold\tPenalise primers if the further they are from "
+        "the start of the sequence.",
+        "\t-f forward.fastq\tInput FASTQ file containing forward reads.",
+        "\t-F\tOutput FASTQ instead of FASTA.",
+        "\t-g log.txt\tOutput log to a text file.",
+        "\t-G log.txt.bz2\tOutput log to a BZip2-compressed text file.",
+        "\t-h\tShow this delightful nonsense.",
+        "\t-i index.fastq\tInput FASTQ file containing separate "
+        "barcode/index reads.",
+        "\t-j\tInput files are bzipped. (Deprecated.)",
+        "\t-k kmers\tThe number of k-mers in the table.",
+        "\t-l length\tMinimum length for a sequence.",
+        "\t-L length\tMaximum length for a sequence.",
+        "\t-N\tEliminate all sequences with unknown nucleotides in the "
+        "output.",
+        "\t-o length\tMinumum overlap region length for a sequence.",
+        "\t-O length\tMaximum overlap region length for a sequence. "
+        "(0 to use read length.)",
+        "\t-p primer\tForward primer sequence or number of bases to be "
+        "removed.",
+        "\t-q primer\tReverse primer sequence or number of bases to be "
+        "removed.",
+        "\t-t threshold\tThe minimum probability that a sequence must "
+        "have to assemble and, if used, match a primer.",
+        "\t-T threads\tRun with a number of parallel threads.",
+        "\t-u unaligned.txt\tFile to write unalignable read pairs.",
+        "\t-U unaligned.txt\tFile to write unalignable read pairs with "
+        "quality scores.",
+        "\t-v\tShow version and exit.",
+        "\t-w output.fasta\tOutput seqences to a FASTA (or FASTQ) file.",
+        "\t-W output.fasta.bz2\tOutput seqences to a BZip2-compressed "
+        "FASTA (or FASTQ) file.",
+    ]:
+        _err(line)
+    _err("Available algorithms:")
+    for name in ("ea_util", "flash", "pear", "rdp_mle", "simple_bayesian",
+                 "stitch", "uparse"):
+        _err("\t%s" % name)
+    _err("Available modules:")
+    filters.show_all(logger)
+
+
+def _parse_primer(argument: str, direction: str, complement: bool):
+    """set_primer (args_assembler.c:177-213): a number means trim-count,
+    otherwise a primer sequence."""
+    try:
+        offset = int(argument, 10)
+        is_num = True
+    except ValueError:
+        is_num = False
+    if not is_num:
+        conv = nt_from_ascii_complement if complement else nt_from_ascii
+        codes = conv(argument.encode())
+        if np.any(codes == 0):
+            _err("ERR\tBADNT\t%cPRIMER" % direction[0].upper())
+            raise ArgsError("primer")
+        return None, codes
+    if offset < 1 or offset > MAX_LEN:
+        _err("Bad %s primer length." % direction)
+        raise ArgsError("primer")
+    return offset, None
+
+
+class Config:
+    def __init__(self):
+        self.cfg = oracle.OracleConfig()
+        self.modules = []
+        self.qualmin = 33
+        self.policy = seqid_mod.TAG_PRESENT
+        self.fwd_file = None
+        self.rev_file = None
+        self.index_file = None
+        self.fastq_out = False
+        self.out_path = None
+        self.out_bz2 = False
+        self.log_path = None
+        self.log_bz2 = False
+        self.fail_path = None
+        self.fail_qual = False
+        self.threads = None
+        self.debug_flags = stats.DEBUG_DEFAULT
+        self.minlen = None
+        self.maxlen = None
+        self.batch = 1024
+
+
+def parse_args(argv, prog="pandaseq"):
+    """Returns (Config, logger) or raises ArgsError/SystemExit."""
+    c = Config()
+    module_specs = []
+    try:
+        opts, rest = getopt.getopt(argv, _OPTSTRING)
+    except getopt.GetoptError as e:
+        _err(str(e))
+        raise ArgsError("getopt")
+    if rest:
+        _err("Unknown argument: %s" % rest[0])
+        raise ArgsError("extra")
+    seen = set()
+    for flag, arg in opts:
+        f = flag[1]
+        if f in seen and f not in ("C",):  # repeats rejected (args.c:93)
+            _err("The argument -%c may only be specified once." % f)
+            raise ArgsError("repeat")
+        seen.add(f)
+        if f == "6":
+            c.qualmin = 64
+        elif f == "a":
+            c.cfg.post_primers = True
+        elif f == "A":
+            name, _, algo_arg = arg.partition(":")
+            try:
+                c.cfg.algorithm = oracle.make_algorithm(
+                    name, algo_arg or None)
+            except (KeyError, ValueError) as e:
+                _err("Unknown algorithm: %s" % name
+                     if isinstance(e, KeyError) else str(e))
+                raise ArgsError("algorithm")
+        elif f == "B":
+            c.policy = seqid_mod.TAG_OPTIONAL
+        elif f == "C":
+            module_specs.append(("C", arg))
+        elif f == "d":
+            c.debug_flags = stats.parse_debug_flags(arg, c.debug_flags)
+        elif f == "D":
+            try:
+                v = float(arg)
+            except ValueError:
+                v = -1
+            if v < 0:
+                _err("Bad threshold: %s. It should be between 0 and 1."
+                     % arg)
+                raise ArgsError("penalty")
+            c.cfg.primer_penalty = v
+        elif f == "f":
+            c.fwd_file = arg
+        elif f == "F":
+            c.fastq_out = True
+        elif f == "g":
+            c.log_path, c.log_bz2 = arg, False
+        elif f == "G":
+            c.log_path, c.log_bz2 = arg, True
+        elif f == "h":
+            logger = stats.LogProxy()
+            show_help(logger, prog)
+            raise SystemExit(1)
+        elif f == "i":
+            c.index_file = arg
+        elif f == "j":
+            _err("-j option is no longer necessary. Compression is "
+                 "auto-detected.")
+        elif f == "k":
+            try:
+                v = int(arg)
+            except ValueError:
+                v = -1
+            if v < 0 or v > 127:
+                _err("Bad k-mer list length.")
+                raise ArgsError("kmers")
+            c.cfg.num_kmers = v
+        elif f == "l":
+            v = int(arg)
+            if v < 0 or v > 2 * MAX_LEN:
+                _err("Bad minimum length.")
+                raise ArgsError("minlen")
+            module_specs.append(("l", v))
+        elif f == "L":
+            v = int(arg)
+            if v < 1 or v > 2 * MAX_LEN:
+                _err("Bad maximum length.")
+                raise ArgsError("maxlen")
+            module_specs.append(("L", v))
+        elif f == "N":
+            module_specs.append(("N", None))
+        elif f == "o":
+            v = int(arg)
+            if v < 1 or v > 2 * MAX_LEN:
+                _err("Bad overlap length.")
+                raise ArgsError("minoverlap")
+            c.cfg.minoverlap = v
+        elif f == "O":
+            v = int(arg)
+            if v < 0 or v > 2 * MAX_LEN:
+                _err("Bad overlap length.")
+                raise ArgsError("maxoverlap")
+            c.cfg.maxoverlap = v
+        elif f == "p":
+            trim, codes = _parse_primer(arg, "forward", complement=False)
+            if codes is not None:
+                c.cfg.forward_primer = codes
+            else:
+                c.cfg.forward_trim = trim
+        elif f == "q":
+            trim, codes = _parse_primer(arg, "reverse", complement=True)
+            if codes is not None:
+                c.cfg.reverse_primer = codes
+            else:
+                c.cfg.reverse_trim = trim
+        elif f == "r":
+            c.rev_file = arg
+        elif f == "t":
+            try:
+                v = float(arg)
+            except ValueError:
+                v = -1
+            if v < 0 or v > 1:
+                _err("Bad threshold: %s. It should be between 0 and 1."
+                     % arg)
+                raise ArgsError("threshold")
+            c.cfg.threshold = math.log(v)
+        elif f == "T":
+            c.threads = int(arg)
+        elif f == "u":
+            c.fail_path, c.fail_qual = arg, False
+        elif f == "U":
+            c.fail_path, c.fail_qual = arg, True
+        elif f == "v":
+            _err(VERSION)
+            raise SystemExit(1)
+        elif f == "w":
+            c.out_path, c.out_bz2 = arg, False
+        elif f == "W":
+            c.out_path, c.out_bz2 = arg, True
+
+    c.module_specs = module_specs
+    return c
+
+
+def _open_out(path, use_bz2):
+    if path is None or path == "-":
+        return sys.stdout.buffer, False
+    if use_bz2:
+        return bz2_mod.open(path, "wb"), True
+    return open(path, "wb"), True
+
+
+def run(c: Config, argv, prog="pandaseq") -> int:
+    log_stream, close_log = _open_out(c.log_path, c.log_bz2) \
+        if c.log_path else (sys.stderr.buffer, False)
+    logger = stats.LogProxy(log_stream, c.debug_flags)
+
+    # instantiate modules in argv order (the reference attaches each at
+    # its flag's dispatch position, args.c:57-199)
+    try:
+        for kind, arg in c.module_specs:
+            if kind == "C":
+                c.modules.append(filters.load_module(arg, logger))
+            elif kind == "N":
+                c.modules.append(filters.degenerates_module())
+            elif kind == "l":
+                c.modules.append(filters.short_module(arg))
+            elif kind == "L":
+                c.modules.append(filters.long_module(arg))
+    except filters.ModuleError:
+        return 1
+
+    if c.fwd_file is None or c.rev_file is None:
+        logger.write_str("You must supply both forward and reverse reads.")
+        _err("Too confused to continue.\nTry -h for help.")
+        return 1
+
+    out_stream, close_out = _open_out(c.out_path, c.out_bz2)
+    fail_stream = None
+    if c.fail_path:
+        fail_stream = open(c.fail_path, "wb")
+
+    logger.write_str("INFO\tVER\t%s" % VERSION)
+    try:
+        import platform
+        u = platform.uname()
+        logger.write_str("INFO\tUNAME\t%s %s %s %s"
+                         % (u.system, u.release, u.version, u.machine))
+    except Exception:
+        pass
+    for i, a in enumerate([prog] + list(argv)):
+        logger.write_str("ARG[%d]\t%s" % (i, a))
+
+    threads = c.threads if c.threads else 1
+    logger.stat("THREADS", threads)
+
+    fmt = out_mod.format_fastq if c.fastq_out else out_mod.format_fasta
+    fail_fmt = out_mod.format_fail_qual if c.fail_qual \
+        else out_mod.format_fail
+
+    asm = BatchAssembler(c.cfg, L=512, modules=c.modules)
+    reporter = stats.StatReporter(logger)
+
+    try:
+        reader = fq.read_pairs(
+            c.fwd_file, c.rev_file, qualmin=c.qualmin, policy=c.policy,
+            index=(fq.open_buffer(c.index_file) if c.index_file else None))
+    except OSError as e:
+        logger.write_str("ERR\tNOFILE\t%s" % e)
+        return 1
+
+    some_seqs = False
+    eof = False
+    while not eof:
+        pairs = []
+        while len(pairs) < c.batch:
+            try:
+                pairs.append(next(reader))
+            except StopIteration:
+                eof = True
+                break
+            except fq.StreamError as e:
+                logger.write(e.code, sid=None,
+                             message=e.detail or None,
+                             flag=stats.DEBUG_FILE)
+                eof = True
+                break
+        if not pairs:
+            break
+        for pair, (code, res) in zip(pairs, asm.assemble_batch(pairs)):
+            count = asm.counters.count
+            if code == "OK":
+                out_stream.write(fmt(res))
+                some_seqs = True
+            else:
+                if code == "LOWQ":
+                    logger.write("LOWQ", sid=res.sid if res else pair.sid,
+                                 message="%f < %f"
+                                 % (math.exp(res.quality),
+                                    math.exp(c.cfg.threshold)),
+                                 flag=stats.DEBUG_STAT)
+                elif code in ("NOFP", "NORP"):
+                    logger.write(code, sid=pair.sid,
+                                 flag=stats.DEBUG_STAT)
+                if fail_stream is not None and code == "NOALGN":
+                    fail_stream.write(fail_fmt(pair))
+            if count % 1000 == 0:
+                reporter.print_time(count)
+
+    if reader.seen_under_64 is False and reader.non_empty \
+            and c.qualmin == 33:
+        logger.write("PHRED_OFFSET")  # fastq.c:195-207
+    reporter.final(asm.counters, modules=c.modules,
+                   has_fwd_primer=c.cfg.forward_primer is not None,
+                   has_rev_primer=c.cfg.reverse_primer is not None)
+    for mod in c.modules:
+        if mod.destroy is not None:
+            mod.destroy()
+
+    if close_out:
+        out_stream.close()
+    if fail_stream is not None:
+        fail_stream.close()
+    if close_log:
+        log_stream.close()
+    return 0 if some_seqs else 1
+
+
+def main(argv=None) -> int:
+    import os
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # a TPU-plugin sitecustomize may override the env var; jax.config
+        # still wins when no backend has been initialized yet
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        c = parse_args(argv)
+    except ArgsError:
+        _err("Too confused to continue.\nTry -h for help.")
+        return 1
+    except SystemExit as e:
+        return int(e.code or 0)
+    return run(c, argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

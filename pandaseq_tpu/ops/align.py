@@ -107,6 +107,30 @@ def _occurrence_rank(kf, emit, L):
     return jnp.take_along_axis(rank_sorted, inv, axis=1)
 
 
+def _aligned_frames(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, L):
+    """Right-aligned forward / flipped reverse frames plus the all-overlap
+    shifted gather of the forward frame. Shared by the exact scoring path
+    (score_batch) and the fused fast path (assemble_step)."""
+    nt16_f = fwd_nt.astype(jnp.int32) & 0x0F
+    nt16_r = rev_nt.astype(jnp.int32) & 0x0F
+    F_nt = _right_align(nt16_f, flen, L)
+    F_q = _right_align(fwd_q.astype(jnp.int32), flen, L)
+    R_nt = _flip(nt16_r, rlen, L)
+    R_q = _flip(rev_q.astype(jnp.int32), rlen, L)
+    return nt16_f, nt16_r, F_nt, F_q, R_nt, R_q
+
+
+def _overlap_gather(L):
+    """Index map idx[o-1, i] = position of overlap-local base i of overlap o
+    in the right-aligned forward frame, plus the overlap-validity mask
+    template ivalid[o-1, i] = i < o."""
+    o_vals = jnp.arange(1, L + 1, dtype=jnp.int32)  # [O]
+    i_vals = jnp.arange(L, dtype=jnp.int32)
+    idx = i_vals[None, :] + (L - o_vals[:, None])  # [O, L]
+    ivalid = i_vals[None, None, :] < o_vals[None, :, None]
+    return o_vals, i_vals, idx, ivalid
+
+
 @functools.partial(jax.jit, static_argnames=("L", "num_kmers", "algo_kind"))
 def score_batch(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, L: int,
                 num_kmers: int = NUM_KMERS_DEFAULT, algo_kind: str = "counts",
@@ -219,6 +243,12 @@ def reconstruct_batch(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
       6 forward masked (q = qual_score[rev q]),
       7 reverse masked (q = qual_score[fwd q])
     """
+    return _reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen,
+                             fo, ro, best_o, L)
+
+
+def _reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
+                      best_o, L: int):
     B = fwd_nt.shape[0]
     L2 = 2 * L
     j = jnp.arange(L2, dtype=jnp.int32)[None, :]
@@ -291,3 +321,132 @@ def reconstruct_batch(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
                 fq=f_q.astype(jnp.int8), rq=r_q.astype(jnp.int8),
                 degenerates=degen, overlap_mismatches=ovl_mismatch,
                 seq_len=seq_len[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# Fused fast path: one jit, everything on device.
+# ---------------------------------------------------------------------------
+
+def _dense_counts(F_nt, R_nt, flen, rlen, L):
+    """Exact integer match/mismatch/unknown/valid counts for every overlap
+    o in 1..L: [B, O] each. Dense (no k-mer seeding) == reference -k 0:
+    an empty kmerseen table flags no candidates, so ALL_BITS_IF_NONE
+    (assembler.c:42,118) examines every overlap."""
+    _, i_vals, idx, ivalid = _overlap_gather(L)
+    o_vals = jnp.arange(1, L + 1, dtype=jnp.int32)
+    FS_nt = jnp.take(F_nt, jnp.clip(idx, 0, L - 1), axis=1)  # [B, O, L]
+    valid = (ivalid
+             & (i_vals[None, None, :]
+                >= o_vals[None, :, None] - flen[:, None, None])
+             & (i_vals[None, None, :] < rlen[:, None, None]))
+    Rb_nt = R_nt[:, None, :]
+    n_mask = (FS_nt == 0x0F) | (Rb_nt == 0x0F)
+    raw_match = (FS_nt & Rb_nt) != 0
+    unknowns = jnp.sum(valid & n_mask, axis=2, dtype=jnp.int32)
+    matches = jnp.sum(valid & ~n_mask & raw_match, axis=2, dtype=jnp.int32)
+    mismatches = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
+                         dtype=jnp.int32)
+    nvalid = jnp.sum(valid, axis=2, dtype=jnp.int32)
+    return matches, mismatches, unknowns, nvalid
+
+
+def _simple_bayes_scores(m, mm, unk, flen, rlen, L, pmatch, pmismatch,
+                         nn):
+    """simple_bayesian overlap score (algo_simple_bayes.c:45-65) from the
+    integer counts, f32 on device."""
+    o = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]
+    tail = (o < flen[:, None]) | (o < rlen[:, None])
+    nn_count = jnp.where(tail, flen[:, None] + rlen[:, None] - 2 * o + unk,
+                         unk)
+    return (jnp.float32(nn) * nn_count.astype(jnp.float32)
+            + m.astype(jnp.float32) * jnp.float32(pmatch)
+            + mm.astype(jnp.float32) * jnp.float32(pmismatch))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "minoverlap", "maxoverlap"))
+def assemble_step(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, *, L: int,
+                  minoverlap: int = 2, maxoverlap: int = 0):
+    """Fully fused on-device assembly step (the flagship compute graph).
+
+    Dense simple_bayesian scoring of every overlap (reference -k 0
+    semantics), argmax selection, reconstruction, per-base probabilities
+    and mean quality — one XLA program, f32 scoring. The bit-exact
+    production mode instead stops at the integer counts (score_batch) and
+    finishes selection in f64 on host; this fused path is what runs when
+    selection ties at f32 resolution are acceptable (turbo mode) and is
+    the graph the multi-chip sharding wraps.
+
+    Returns per-pair arrays: merged nt codes, per-base log-prob (f32),
+    seq_len, quality, best overlap, ok mask, plus STAT counter inputs.
+    """
+    from .. import tables
+
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    _, _, F_nt, F_q, R_nt, R_q = _aligned_frames(
+        fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, L)
+    m, mm, unk, nvalid = _dense_counts(F_nt, R_nt, flen, rlen, L)
+
+    nn = float(tables.QUAL_NN_SIMPLE_BAYESIAN)
+    # default epsilon q=0.36 (algo_simple_bayes.c:113)
+    q = 0.36
+    import math as _math
+    pmatch = _math.log(0.25 * (1.0 - q) * (1.0 - q))
+    pmismatch = _math.log((3.0 * q - 2.0 * q * q) / 18.0)
+    scores = _simple_bayes_scores(m, mm, unk, flen, rlen, L, pmatch,
+                                  pmismatch, nn)
+
+    o = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]
+    maxo = flen + rlen - minoverlap - 1
+    maxo = jnp.minimum(maxo, jnp.minimum(flen, rlen)) if maxoverlap == 0 \
+        else jnp.minimum(maxo, maxoverlap)
+    in_range = (o >= minoverlap) & (o <= maxo[:, None])
+    scores = jnp.where(in_range, scores, -jnp.inf)
+    floor = jnp.float32(nn) * (flen + rlen).astype(jnp.float32)
+    best = jnp.max(scores, axis=1)
+    besto = jnp.argmax(scores, axis=1).astype(jnp.int32) + 1
+    badread = (flen < 2) | (rlen < 2) | (jnp.minimum(flen, rlen) < minoverlap)
+    aligned = (best > floor) & ~badread
+
+    zeros = jnp.zeros_like(flen)
+    rec = _reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen,
+                            zeros, zeros, besto, L)
+    case = rec["case"].astype(jnp.int32)
+    fq = jnp.clip(rec["fq"].astype(jnp.int32), 0, 46)
+    rq = jnp.clip(rec["rq"].astype(jnp.int32), 0, 46)
+
+    qs = jnp.asarray(tables.QUAL_SCORE, dtype=jnp.float32)
+    mt = jnp.asarray(tables.QUAL_MATCH_SIMPLE_BAYESIAN,
+                     dtype=jnp.float32).reshape(-1)
+    mmt = jnp.asarray(tables.QUAL_MISMATCH_SIMPLE_BAYESIAN,
+                      dtype=jnp.float32).reshape(-1)
+    mp = jnp.where(case == 3, jnp.take(mt, fq * 47 + rq),
+                   jnp.take(mmt, fq * 47 + rq))
+    p = jnp.zeros_like(mp)
+    p = jnp.where(case == 1, jnp.take(qs, fq), p)
+    p = jnp.where((case == 2) | (case == 6), jnp.take(qs, rq), p)
+    p = jnp.where((case == 3) | (case == 4), mp, p)
+    p = jnp.where(case == 5, jnp.float32(nn), p)
+    p = jnp.where(case == 7, jnp.take(qs, fq), p)
+
+    seq_len = rec["seq_len"]
+    quality = jnp.sum(jnp.where(case != 0, p, 0.0), axis=1) \
+        / (seq_len + 1).astype(jnp.float32)
+    threshold = jnp.float32(_math.log(0.6))  # assembler_support.c:76
+    length_ok = (seq_len + 1 > 0) & (seq_len + 1 <= 2 * 450)
+    ok = aligned & length_ok & (quality >= threshold)
+    lowq = aligned & length_ok & (quality < threshold)
+
+    counters = dict(
+        reads=jnp.int32(flen.shape[0]),
+        ok=jnp.sum(ok, dtype=jnp.int32),
+        lowq=jnp.sum(lowq, dtype=jnp.int32),
+        badread=jnp.sum(badread, dtype=jnp.int32),
+        noalgn=jnp.sum(~aligned & ~badread | (aligned & ~length_ok),
+                       dtype=jnp.int32),
+    )
+    return dict(nt=rec["nt"], p=p, seq_len=seq_len, quality=quality,
+                overlap=besto, ok=ok, degenerates=rec["degenerates"],
+                overlap_mismatches=rec["overlap_mismatches"],
+                counters=counters)

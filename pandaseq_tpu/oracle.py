@@ -368,6 +368,8 @@ class OracleResult:
     forward_offset: int = 0
     reverse_offset: int = 0
     slow: bool = False
+    forward_length: int = 0  # panda_result_seq.forward_length
+    reverse_length: int = 0
 
 
 @dataclass
@@ -632,6 +634,8 @@ def assemble(cfg: OracleConfig, pair):
     res.forward_offset = fo
     res.reverse_offset = ro
     res.sid = pair.sid
+    res.forward_length = flen
+    res.reverse_length = rlen
 
     if cfg.post_primers:
         if cfg.forward_primer is not None and len(cfg.forward_primer) > 0:

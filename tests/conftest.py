@@ -18,3 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:  # env XLA_FLAGS is defeated when a TPU plugin registered at startup
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass

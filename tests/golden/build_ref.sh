@@ -53,20 +53,52 @@ const char *lt_dlerror(void);
 int lt_dlforeachfile(const char *dirs, lt_dlforeachfile_cb cb, void *data);
 #endif
 EOF
-cat > ltdl_stub.c <<'EOF'
-#include <stddef.h>
-#include "ltdl.h"
+# ltdl stub backed by a static registry of the baked-in plugins: the 11
+# reference plugins are compiled directly into the golden binary (with
+# their libtool-style <name>_LTX_* symbol prefixes) and lt_dlopenext
+# resolves names against the registry, so `-C module:args` works exactly
+# as with dynamic loading.
+PLUGINS="after before completely_miss_the_point empty filter min_phred min_overlapbits other_primer overlap_stat pear_test sample validtag"
+
+{
+  echo '#include <stddef.h>'
+  echo '#include <string.h>'
+  echo '#include "ltdl.h"'
+  for p in $PLUGINS; do
+    echo "extern int ${p}_LTX_api;"
+    echo "extern int ${p}_LTX_opener();"
+  done
+  echo 'struct stub_entry { const char *name; int *api; void *opener; };'
+  echo 'static struct stub_entry stub_registry[] = {'
+  for p in $PLUGINS; do
+    echo "  { \"$p\", &${p}_LTX_api, (void *) &${p}_LTX_opener },"
+  done
+  echo '  { NULL, NULL, NULL } };'
+  cat <<'EOF'
 int lt_dlinit(void) { return 0; }
 int lt_dlexit(void) { return 0; }
 int lt_dladdsearchdir(const char *dir) { (void) dir; return 0; }
 const char *lt_dlgetsearchpath(void) { return ""; }
-lt_dlhandle lt_dlopenext(const char *name) { (void) name; return NULL; }
-void *lt_dlsym(lt_dlhandle h, const char *name) { (void) h; (void) name; return NULL; }
+lt_dlhandle lt_dlopenext(const char *name) {
+    struct stub_entry *e;
+    for (e = stub_registry; e->name != NULL; e++)
+        if (strcmp(e->name, name) == 0)
+            return (lt_dlhandle) e;
+    return NULL;
+}
+void *lt_dlsym(lt_dlhandle h, const char *name) {
+    struct stub_entry *e = (struct stub_entry *) h;
+    if (e == NULL) return NULL;
+    if (strcmp(name, "api") == 0) return (void *) e->api;
+    if (strcmp(name, "opener") == 0) return e->opener;
+    return NULL;
+}
 int lt_dlclose(lt_dlhandle h) { (void) h; return 0; }
-const char *lt_dlerror(void) { return "module loading not available in golden build"; }
+const char *lt_dlerror(void) { return "module not baked into golden build"; }
 int lt_dlforeachfile(const char *dirs, lt_dlforeachfile_cb cb, void *data) { (void) dirs; (void) cb; (void) data; return 0; }
 const lt_dlinfo *lt_dlgetinfo(lt_dlhandle h) { (void) h; return NULL; }
 EOF
+} > ltdl_stub.c
 
 # bzlib prototypes matching libbz2.so.1 ABI (header not installed).
 cat > bzlib.h <<'EOF'
@@ -119,6 +151,14 @@ for s in $SRCS; do
 done
 gcc $CFLAGS -c table.c -o table.o
 gcc $CFLAGS -c ltdl_stub.c -o ltdl_stub.o
+
+# Baked-in plugins: each plugin .c + its per-plugin api symbol
+# (panda_api.c), compiled with the libtool-style symbol prefix.
+for p in $PLUGINS; do
+    gcc $CFLAGS -DPANDASEQ_MODULE=$p -c "$REF/plugin_$p.c" -o "plugin_$p.o"
+    gcc $CFLAGS -DPANDASEQ_MODULE=$p -c "$REF/panda_api.c" -o "api_$p.o"
+    OBJS="$OBJS plugin_$p.o api_$p.o"
+done
 
 LIBS="-lz -lm -lpthread /usr/lib/x86_64-linux-gnu/libbz2.so.1"
 gcc $CFLAGS -o pandaseq-ref "$REF/main.c" $OBJS table.o ltdl_stub.o $LIBS

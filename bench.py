@@ -62,42 +62,57 @@ def bench_reference() -> float | None:
 def bench_tpu() -> float:
     """Full production pipeline: host decode -> device scoring/reconstruct
     -> host exact f64 finalization -> FASTA bytes."""
+    from pandaseq_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     from pandaseq_tpu.assembler import BatchAssembler
     from pandaseq_tpu.io import fastq as fq
     from pandaseq_tpu.io import output as out_mod
 
-    # decode once up-front so both timed phases are visible separately
-    t0 = time.perf_counter()
-    pairs = []
-    reader = fq.read_pairs(B1, B2, policy="PRESENT")
-    while True:
-        try:
-            pairs.append(next(reader))
-        except (StopIteration, fq.StreamError):
-            break
-    t_decode = time.perf_counter() - t0
-    log(f"decode: {len(pairs)} pairs in {t_decode:.2f}s")
+    from pandaseq_tpu.io import native
 
+    use_native = native.get_lib() is not None
+
+    def batches():
+        if use_native:
+            yield from native.NativeBatchReader(B1, B2, policy="PRESENT",
+                                                batch=BATCH, L=512)
+            return
+        reader = fq.read_pairs(B1, B2, policy="PRESENT")
+        done = False
+        while not done:
+            chunk = []
+            while len(chunk) < BATCH:
+                try:
+                    chunk.append(next(reader))
+                except (StopIteration, fq.StreamError):
+                    done = True
+                    break
+            if chunk:
+                yield chunk
+
+    log("decoder: %s" % ("native C++" if use_native else "python"))
     asm = BatchAssembler(L=512)
     # warm-up compile on the first batch
-    asm.assemble_batch(pairs[:BATCH])
+    for b in batches():
+        asm.assemble_batch(b)
+        break
 
     asm = BatchAssembler(L=512)
     t0 = time.perf_counter()
+    n_in = 0
     n_out = 0
     sink = bytearray()
-    for i in range(0, len(pairs), BATCH):
-        chunk = pairs[i:i + BATCH]
-        for code, res in asm.assemble_batch(chunk):
+    for _, results in asm.assemble_stream(batches()):
+        for code, res in results:
+            n_in += 1
             if code == "OK":
                 sink += out_mod.format_fasta(res)
                 n_out += 1
-    t_asm = time.perf_counter() - t0
-    total = t_decode + t_asm
-    log(f"assemble+format: {len(pairs)} pairs in {t_asm:.2f}s "
+    total = time.perf_counter() - t0
+    log(f"decode+assemble+format: {n_in} pairs in {total:.2f}s "
         f"({asm.counters.ok} OK)")
-    log(f"end-to-end: {len(pairs)/total:.0f} pairs/s")
-    return len(pairs) / total
+    log(f"end-to-end: {n_in/total:.0f} pairs/s")
+    return n_in / total
 
 
 def main():

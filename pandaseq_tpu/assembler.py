@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import oracle
+from .nt import IUPAC_FORWARD
 from .oracle import OracleConfig, OracleResult
 from .ops import align as dev_align
 from .tables import (QUAL_NN_SIMPLE_BAYESIAN, QUAL_SCORE, QUAL_SCORE_ERR,
@@ -37,6 +38,11 @@ from .tables import (QUAL_NN_SIMPLE_BAYESIAN, QUAL_SCORE, QUAL_SCORE_ERR,
 
 _NN = QUAL_NN_SIMPLE_BAYESIAN
 _EPS = 0.01  # f32 pruning slack for pear/rdp (error bound ~3e-4 at L=450)
+
+
+def _bucket(n: int, step: int = 128) -> int:
+    """Round up to the shape bucket so jit specializations stay few."""
+    return ((max(n, 1) + step - 1) // step) * step
 
 
 @dataclass
@@ -225,26 +231,64 @@ class BatchAssembler:
         self.modules = list(modules)
         self.counters = Counters()
         algo = self.cfg.algorithm
-        self._algo_kind = ("pear" if algo.name == "pear" else
-                           "rdp_mle" if algo.name == "rdp_mle" else "counts")
-        if self._algo_kind == "pear":
+        name = algo.name
+        if name in ("pear", "rdp_mle"):
+            self._algo_kind = name
+        elif name in ("ea_util", "flash", "stitch"):
+            self._algo_kind = name
+        else:
+            self._algo_kind = "counts"
+        self._pmatch = getattr(algo, "pmatch", 0.0)
+        self._pmismatch = getattr(algo, "pmismatch", 0.0)
+        if name == "pear":
             self._lut_m, self._lut_mm = QUAL_MATCH_PEAR, QUAL_MISMATCH_PEAR
             self._nn_term = -algo.random_base
-        elif self._algo_kind == "rdp_mle":
+        elif name == "rdp_mle":
             self._lut_m = QUAL_MATCH_SIMPLE_BAYESIAN - _NN
             self._lut_mm = QUAL_MISMATCH_RDP_MLE - _NN
             self._nn_term = 0.0
         else:
             self._lut_m = self._lut_mm = None
             self._nn_term = 0.0
+        from .ops import fused as _fused
+        self._fused = _fused
+        self._ptbl = _fused.build_ptable(algo)
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
         """Returns a list of (code, OracleResult|None) preserving order."""
+        st = self._pre(pairs)
+        dev = self._dispatch(st)
+        return self._finalize(st, dev)
+
+    def assemble_stream(self, pair_batches):
+        """Pipelined driver: yields one result list per input batch, with
+        batch k+1's device step dispatched before batch k's host
+        finalization (the async-reader/pool overlap of the reference,
+        async.c/pool.c, as device/host overlap)."""
+        prev = None
+        for pairs in pair_batches:
+            st = self._pre(pairs)
+            dev = self._dispatch(st)
+            if prev is not None:
+                yield prev[0]["pairs"], self._finalize(*prev)
+            prev = (st, dev)
+        if prev is not None:
+            yield prev[0]["pairs"], self._finalize(*prev)
+
+    def _pre(self, pairs):
+        """Host stage 0: decode batch, badread, prechecks, primers.
+
+        ``pairs`` is either a list of ReadPair or a prebuilt Batch (the
+        native decoder path, io/native.py)."""
         cfg = self.cfg
-        B = len(pairs)
-        batch = make_batch(pairs, self.L)
-        out = [(None, None)] * B
+        if isinstance(pairs, Batch):
+            batch = pairs
+            pairs = batch.pairs
+            B = len(batch.sids)
+        else:
+            B = len(pairs)
+            batch = make_batch(pairs, self.L)
         self.counters.count += B
 
         flen, rlen = batch.flen.astype(np.int64), batch.rlen.astype(np.int64)
@@ -297,21 +341,6 @@ class BatchAssembler:
         shortread = (np.minimum(flen, rlen) < cfg.minoverlap) & ~badread \
             & ~prerej & ~nofp & ~norp
 
-        # --- stage 1: device scoring ---
-        dev = dev_align.score_batch(
-            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
-            batch.flen, batch.rlen, L=self.L,
-            num_kmers=cfg.num_kmers, algo_kind=self._algo_kind,
-            lut_match=self._lut_m, lut_mismatch=self._lut_mm,
-            nn_term=self._nn_term)
-        m = np.asarray(dev["matches"])
-        mm = np.asarray(dev["mismatches"])
-        unk = np.asarray(dev["unknowns"])
-        valid = np.asarray(dev["valid"])
-        cand = np.asarray(dev["cand"])
-
-        # --- stage 2: host f64 selection ---
-        o = np.arange(1, self.L + 1, dtype=np.int64)[None, :]
         maxo = flen + rlen - cfg.minoverlap - fo - ro - 1
         if cfg.maxoverlap == 0:
             maxo = np.minimum(flen, rlen)
@@ -319,6 +348,69 @@ class BatchAssembler:
             maxo = np.minimum(maxo, cfg.maxoverlap)
         negs = ((cfg.minoverlap + fo >= flen)
                 | (cfg.minoverlap + ro >= rlen))
+
+        # shape buckets: overlap axis only needs max(maxo), merged axis
+        # only needs max(flen+rlen); rounded to 128 so the jit cache stays
+        # small
+        O = int(min(self.L, _bucket(max(int(maxo.max(initial=1)), 1))))
+        L2 = int(min(2 * self.L,
+                     _bucket(int((flen + rlen).max(initial=2)) + 1)))
+        return dict(pairs=pairs, batch=batch, B=B, flen=flen, rlen=rlen,
+                    fo=fo, ro=ro, badread=badread, prerej=prerej,
+                    nofp=nofp, norp=norp, shortread=shortread, maxo=maxo,
+                    negs=negs, O=O, L2=L2)
+
+    def _dispatch(self, st):
+        """Stage 1: the fused device step (single dispatch; ops/fused.py).
+        Returns async device arrays — do not block here."""
+        cfg = self.cfg
+        batch = st["batch"]
+        kw = {}
+        if self._algo_kind in ("pear", "rdp_mle"):
+            kw = dict(lut_match=self._lut_m, lut_mismatch=self._lut_mm)
+        return self._fused.assemble_fused(
+            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
+            batch.flen, batch.rlen,
+            st["fo"].astype(np.int32), st["ro"].astype(np.int32),
+            L=self.L, O=st["O"], L2=st["L2"], minoverlap=cfg.minoverlap,
+            maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,
+            algo_kind=self._algo_kind, pmatch=float(self._pmatch),
+            pmismatch=float(self._pmismatch),
+            nn_term=float(self._nn_term), **kw)
+
+    def _finalize(self, st, dev):
+        cfg = self.cfg
+        algo = cfg.algorithm
+        batch = st["batch"]
+        B = st["B"]
+        flen, rlen = st["flen"], st["rlen"]
+        fo, ro = st["fo"], st["ro"]
+        badread, prerej = st["badread"], st["prerej"]
+        nofp, norp = st["nofp"], st["norp"]
+        shortread, maxo, negs = st["shortread"], st["maxo"], st["negs"]
+        out = [(None, None)] * B
+
+        packed = np.asarray(dev["packed_counts"])
+        seq = np.asarray(dev["seq"])
+        scalars = np.asarray(dev["scalars"]).astype(np.int64)
+        pidx = seq & 0xFFFF
+        ascii_all = ((seq >> 16) & 0xFF).astype(np.uint8)
+        seq_len = scalars[:, 0]
+        degen = scalars[:, 1]
+        ovl_mm = scalars[:, 2]
+        besto32 = scalars[:, 3]
+
+        m = (packed & 0x3FF).astype(np.int64)
+        mm = ((packed >> 10) & 0x7FF).astype(np.int64)
+        cand = (packed >> 21) != 0
+        O = packed.shape[1]
+        o = np.arange(1, O + 1, dtype=np.int64)[None, :]
+        # valid(o) is deterministic given the lengths (no transfer needed)
+        valid = np.maximum(
+            0, np.minimum(o, rlen[:, None]) - np.maximum(0, o - flen[:, None]))
+        unk = valid - m - mm
+
+        # --- stage 2: host f64 selection ---
         in_range = (o >= cfg.minoverlap) & (o <= maxo[:, None])
         cand_in = cand & in_range
         none_found = ~cand_in.any(axis=1)
@@ -328,15 +420,8 @@ class BatchAssembler:
 
         floor = _NN * (flen + rlen).astype(np.float64)
         algo = cfg.algorithm
-        if self._algo_kind == "counts":
-            scores = _scores_from_counts(algo, m, mm, unk, valid,
-                                         flen[:, None], rlen[:, None], o)
-            scores = np.where(cand_in, scores, -np.inf)
-            scores = np.where(np.isnan(scores), -np.inf, scores)
-            best = scores.max(axis=1, initial=-np.inf)
-            besto = scores.argmax(axis=1) + 1  # first occurrence == C rule
-            aligned = best > floor
-        else:
+        skip = badread | prerej | nofp | norp | negs | shortread
+        if self._algo_kind in ("pear", "rdp_mle"):
             f32 = np.asarray(dev["lutsum"]).astype(np.float64)
             f32 = np.where(cand_in, f32, -np.inf)
             best32 = f32.max(axis=1, initial=-np.inf)
@@ -344,8 +429,7 @@ class BatchAssembler:
             besto = np.ones(B, dtype=np.int64)
             best = np.full(B, -np.inf)
             for b in range(B):
-                if badread[b] or prerej[b] or nofp[b] or norp[b] \
-                        or negs[b] or shortread[b]:
+                if skip[b]:
                     continue
                 sus = np.flatnonzero(
                     cand_in[b] & ((f32[b] >= best32[b] - _EPS)
@@ -359,35 +443,35 @@ class BatchAssembler:
                     aligned[b] = True
                     besto[b] = bo
                     best[b] = bb
+        else:
+            scores = _scores_from_counts(algo, m, mm, unk, valid,
+                                         flen[:, None], rlen[:, None], o)
+            scores = np.where(cand_in, scores, -np.inf)
+            scores = np.where(np.isnan(scores), -np.inf, scores)
+            best = scores.max(axis=1, initial=-np.inf)
+            besto = scores.argmax(axis=1) + 1  # first occurrence == C rule
+            aligned = (best > floor) & ~skip
 
-        # --- stage 3: device reconstruction ---
-        rec = dev_align.reconstruct_batch(
-            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
-            batch.flen, batch.rlen, fo.astype(np.int32), ro.astype(np.int32),
-            besto.astype(np.int32), L=self.L)
-        nt = np.asarray(rec["nt"]).astype(np.int32)
-        case = np.asarray(rec["case"]).astype(np.int32)
-        fq = np.clip(np.asarray(rec["fq"]).astype(np.int32), 0, 46)
-        rq = np.clip(np.asarray(rec["rq"]).astype(np.int32), 0, 46)
-        seq_len = np.asarray(rec["seq_len"]).astype(np.int64)
-        degen = np.asarray(rec["degenerates"])
-        ovl_mm = np.asarray(rec["overlap_mismatches"])
+        # --- stage 3: exact-vs-f32 winner check; oracle fallback for the
+        # (rare) pairs where the device's f32 selection differs ---
+        fb = {}
+        for b in np.flatnonzero(aligned & (besto != besto32)):
+            res, code = oracle.align(
+                cfg, batch.pairs[b].fwd_nt, batch.pairs[b].fwd_q,
+                int(flen[b]), batch.pairs[b].rev_nt, batch.pairs[b].rev_q,
+                int(rlen[b]), int(fo[b]), int(ro[b]))
+            fb[int(b)] = res if code == "OK" else None
 
-        # --- stage 4: exact per-base probabilities + quality (host f64) ---
-        mp = _match_probability_vec(algo, case == 3, fq, rq)
-        p = np.zeros_like(mp)
-        p = np.where(case == 1, QUAL_SCORE[fq], p)
-        p = np.where(case == 2, QUAL_SCORE[rq], p)
-        p = np.where((case == 3) | (case == 4), mp, p)
-        p = np.where(case == 5, _NN, p)
-        p = np.where(case == 6, QUAL_SCORE[rq], p)
-        p = np.where(case == 7, QUAL_SCORE[fq], p)
-
-        # region-ordered sequential sums: masked cumsum == the C loop's
-        # accumulation (adding 0.0 is exact)
+        # --- stage 4: exact per-base probabilities + quality (host f64,
+        # vectorized via the per-algorithm PTBL lookup) ---
+        p = self._ptbl[np.clip(pidx, 0, self._ptbl.shape[0] - 1)]
+        case = pidx // 2209
         is_fwd = (case == 1)
         is_rev = (case == 2)
         is_ovl = (case >= 3)
+        # region-ordered sequential sums: masked cumsum == the C loop's
+        # accumulation (adding 0.0 is exact); grouping (f + r) + o matches
+        # assembler.c:244
         fsum = np.cumsum(np.where(is_fwd, p, 0.0), axis=1)[:, -1]
         osum = np.cumsum(np.where(is_ovl, p, 0.0), axis=1)[:, -1]
         rsum = np.cumsum(np.where(is_rev, p, 0.0), axis=1)[:, -1]
@@ -422,26 +506,40 @@ class BatchAssembler:
                 continue
             if slow_mask[b]:
                 self.counters.slow += 1
-            if not aligned[b] or length_bad[b]:
-                out[b] = ("NOALGN", None)
-                self.counters.noalgn += 1
-                continue
-            res = OracleResult()
-            res.sid = batch.sids[b]
-            n = int(seq_len[b])
-            res.sequence_nt = nt[b, :n].astype(np.int8)
-            res.sequence_p = p[b, :n]
-            res.sequence_length = n
-            res.quality = float(quality[b])
-            res.overlap = int(besto[b])
-            res.overlaps_examined = int(examined[b])
-            res.overlap_mismatches = int(ovl_mm[b])
-            res.degenerates = int(degen[b])
-            res.estimated_overlap_probability = float(best[b])
-            res.forward_offset = int(fo[b])
-            res.reverse_offset = int(ro[b])
-            res.forward_length = int(flen[b])
-            res.reverse_length = int(rlen[b])
+            if b in fb:
+                res = fb[b]
+                if res is None or res.sequence_length + 1 > 2 * \
+                        oracle.MAX_LEN:
+                    out[b] = ("NOALGN", None)
+                    self.counters.noalgn += 1
+                    continue
+                res.sid = batch.sids[b]
+                res.forward_offset = int(fo[b])
+                res.reverse_offset = int(ro[b])
+                res.forward_length = int(flen[b])
+                res.reverse_length = int(rlen[b])
+            else:
+                if not aligned[b] or length_bad[b]:
+                    out[b] = ("NOALGN", None)
+                    self.counters.noalgn += 1
+                    continue
+                res = OracleResult()
+                res.sid = batch.sids[b]
+                n = int(seq_len[b])
+                res.sequence_ascii = ascii_all[b, :n]
+                res.sequence_nt = IUPAC_FORWARD[ascii_all[b, :n] & 0x1F]
+                res.sequence_p = p[b, :n]
+                res.sequence_length = n
+                res.quality = float(quality[b])
+                res.overlap = int(besto[b])
+                res.overlaps_examined = int(examined[b])
+                res.overlap_mismatches = int(ovl_mm[b])
+                res.degenerates = int(degen[b])
+                res.estimated_overlap_probability = float(best[b])
+                res.forward_offset = int(fo[b])
+                res.reverse_offset = int(ro[b])
+                res.forward_length = int(flen[b])
+                res.reverse_length = int(rlen[b])
 
             code = self._post_primers_and_threshold(res)
             if code != "OK":
@@ -493,6 +591,9 @@ class BatchAssembler:
             fo2 = res.forward_offset
             res.sequence_nt = res.sequence_nt[fo2:fo2 + res.sequence_length]
             res.sequence_p = res.sequence_p[fo2:fo2 + res.sequence_length]
+            if res.sequence_ascii is not None:
+                res.sequence_ascii = \
+                    res.sequence_ascii[fo2:fo2 + res.sequence_length]
         if res.quality < cfg.threshold:
             self.counters.lowq += 1
             return "LOWQ"

@@ -15,6 +15,7 @@ from __future__ import annotations
 import bz2 as bz2_mod
 import getopt
 import math
+import os
 import sys
 import time
 
@@ -300,7 +301,19 @@ def _open_out(path, use_bz2):
     return open(path, "wb"), True
 
 
-def run(c: Config, argv, prog="pandaseq") -> int:
+def apply_platform_env():
+    """Honor JAX_PLATFORMS=cpu even when a TPU-plugin sitecustomize
+    already registered a backend (jax.config wins pre-initialization)."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
+    apply_platform_env()
     log_stream, close_log = _open_out(c.log_path, c.log_bz2) \
         if c.log_path else (sys.stderr.buffer, False)
     logger = stats.LogProxy(log_stream, c.debug_flags)
@@ -348,37 +361,67 @@ def run(c: Config, argv, prog="pandaseq") -> int:
     fail_fmt = out_mod.format_fail_qual if c.fail_qual \
         else out_mod.format_fail
 
+    from ..runtime import enable_compilation_cache
+    enable_compilation_cache()
     asm = BatchAssembler(c.cfg, L=512, modules=c.modules)
     reporter = stats.StatReporter(logger)
 
-    try:
-        reader = fq.read_pairs(
-            c.fwd_file, c.rev_file, qualmin=c.qualmin, policy=c.policy,
-            index=(fq.open_buffer(c.index_file) if c.index_file else None))
-    except OSError as e:
-        logger.write_str("ERR\tNOFILE\t%s" % e)
-        return 1
+    native_reader = None
+    if (c.index_file is None and reader_wrapper is None
+            and not os.environ.get("PANDASEQ_TPU_NO_NATIVE")):
+        from ..io import native
+        try:
+            if native.get_lib() is not None:
+                native_reader = native.NativeBatchReader(
+                    c.fwd_file, c.rev_file, qualmin=c.qualmin,
+                    policy=c.policy, batch=c.batch, L=512)
+        except (OSError, RuntimeError):
+            native_reader = None
+    if native_reader is None:
+        try:
+            reader = fq.read_pairs(
+                c.fwd_file, c.rev_file, qualmin=c.qualmin, policy=c.policy,
+                index=(fq.open_buffer(c.index_file) if c.index_file
+                       else None))
+        except OSError as e:
+            logger.write_str("ERR\tNOFILE\t%s" % e)
+            return 1
+        if reader_wrapper is not None:
+            reader = reader_wrapper(reader, logger)
+    else:
+        reader = native_reader
 
     some_seqs = False
-    eof = False
-    while not eof:
-        pairs = []
-        while len(pairs) < c.batch:
-            try:
-                pairs.append(next(reader))
-            except StopIteration:
-                eof = True
-                break
-            except fq.StreamError as e:
-                logger.write(e.code, sid=None,
-                             message=e.detail or None,
-                             flag=stats.DEBUG_FILE)
-                eof = True
-                break
-        if not pairs:
-            break
-        for pair, (code, res) in zip(pairs, asm.assemble_batch(pairs)):
-            count = asm.counters.count
+
+    def batches():
+        if native_reader is not None:
+            yield from native_reader
+            if native_reader.error and native_reader.error != "EOF":
+                logger.write(native_reader.error, flag=stats.DEBUG_FILE)
+            return
+        eof = False
+        while not eof:
+            pairs = []
+            while len(pairs) < c.batch:
+                try:
+                    pairs.append(next(reader))
+                except StopIteration:
+                    eof = True
+                    break
+                except fq.StreamError as e:
+                    logger.write(e.code, sid=None,
+                                 message=e.detail or None,
+                                 flag=stats.DEBUG_FILE)
+                    eof = True
+                    break
+            if pairs:
+                yield pairs
+
+    done = 0
+    for pairs, results in asm.assemble_stream(batches()):
+        for pair, (code, res) in zip(pairs, results):
+            done += 1
+            count = done
             if code == "OK":
                 out_stream.write(fmt(res))
                 some_seqs = True
@@ -417,15 +460,6 @@ def run(c: Config, argv, prog="pandaseq") -> int:
 
 
 def main(argv=None) -> int:
-    import os
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
-        # a TPU-plugin sitecustomize may override the env var; jax.config
-        # still wins when no backend has been initialized yet
-        import jax
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
     argv = sys.argv[1:] if argv is None else argv
     try:
         c = parse_args(argv)

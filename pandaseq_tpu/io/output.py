@@ -22,11 +22,17 @@ def _id_quality(prefix: str, sid, quality: float) -> str:
     return "%s%s;%f\n" % (prefix, sid, math.exp(quality))
 
 
+def _seq_bytes(res) -> bytes:
+    if res.sequence_ascii is not None:
+        return res.sequence_ascii[:res.sequence_length].tobytes()
+    return nt_to_ascii(res.sequence_nt[:res.sequence_length]).tobytes()
+
+
 def format_fasta(res) -> bytes:
     """panda_output_fasta (output.c:85-103)."""
     if res.sequence_length == 0:
         return b""
-    seq = nt_to_ascii(res.sequence_nt[:res.sequence_length]).tobytes()
+    seq = _seq_bytes(res)
     return _id_quality(">", res.sid, res.quality).encode() + seq + b"\n"
 
 
@@ -34,7 +40,7 @@ def format_fastq(res) -> bytes:
     """panda_output_fastq (output.c:105-126)."""
     if res.sequence_length == 0:
         return b""
-    seq = nt_to_ascii(res.sequence_nt[:res.sequence_length]).tobytes()
+    seq = _seq_bytes(res)
     phred = (33 + result_phred(res.sequence_p[:res.sequence_length])).astype(
         "uint8").tobytes()
     return (_id_quality("@", res.sid, res.quality).encode() + seq + b"\n+\n"

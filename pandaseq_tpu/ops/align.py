@@ -248,9 +248,10 @@ def reconstruct_batch(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
 
 
 def _reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
-                      best_o, L: int):
+                      best_o, L: int, L2: int | None = None):
     B = fwd_nt.shape[0]
-    L2 = 2 * L
+    if L2 is None:
+        L2 = 2 * L
     j = jnp.arange(L2, dtype=jnp.int32)[None, :]
     flen_ = flen[:, None]
     rlen_ = rlen[:, None]

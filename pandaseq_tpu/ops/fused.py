@@ -1,0 +1,314 @@
+"""Single-dispatch fused assembly step with packed outputs.
+
+Motivation (measured on the axon TPU tunnel): each device dispatch costs
+~25 ms and device->host runs at ~165 MB/s, so the production pipeline
+makes ONE jit call per batch and ships three compact arrays back:
+
+  packed_counts [B, L] int32:  m | mm << 10 | cand << 21   (m, mm <= 512;
+      unknowns = valid - m - mm with valid computable from flen/rlen)
+  pidx [B, 2L] int16:  case * 2209 + fq * 47 + rq  (case 0..7 needs only
+      a per-algorithm f64 table lookup on host to recover the exact
+      per-base log-probability)
+  ascii [B, 2L] uint8: merged bases already ascii-encoded on device
+
+plus [B] scalars (seq_len, degenerates, overlap_mismatches, besto32,
+scores32 for pruning).
+
+Selection runs in f32 ON DEVICE; the host recomputes the winner in exact
+f64 from the integer counts and falls back to the numpy oracle for the
+rare pairs where f32 and f64 disagree — output stays bit-identical to
+the C reference while the O(L^2) work stays on the TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from . import align as A
+
+# device-side ascii LUT (pandaseq-nt.h: "NACMGRSVTWYHKDBN")
+_NT_ASCII = np.frombuffer(b"NACMGRSVTWYHKDBN", dtype=np.uint8).copy()
+
+# bilinear count tables over 4-bit IUPAC codes: the reference's per-base
+# classification (algo_simple_bayes.c:52-58) as 16x16 0/1 matrices, which
+# turns counting over every overlap offset into a per-sample correlation
+# — an MXU conv — instead of an O(L^2) gather.
+_M_MATCH = np.zeros((16, 16), dtype=np.int8)
+_M_UNK = np.zeros((16, 16), dtype=np.int8)
+for _a in range(1, 16):
+    for _b in range(1, 16):
+        if _a == 15 or _b == 15:
+            _M_UNK[_a, _b] = 1
+        elif _a & _b:
+            _M_MATCH[_a, _b] = 1
+
+
+def _counts_conv(F_nt, R_nt, flen, rlen, L, O):
+    """matches/unknowns for every overlap o in 1..O via two per-sample
+    int8 convolutions (jax.lax.conv batch_group_count=B).
+
+    matches(o) = sum_i M[F[L-o+i], R[i]] is a correlation at lag L-o;
+    with G[j, c] = M[F[j], c] it becomes sum_t G[(L-O)+k'+t, c] *
+    onehot(R[t])[c] — one VALID conv of width O over a (2O-1)-window of
+    G, k' = O-o. Pad codes (0) hit all-zero table rows/columns, so no
+    masking is needed; mismatches = valid - matches - unknowns on host.
+    """
+    B = F_nt.shape[0]
+    onehot_R = (R_nt[:, :O, None]
+                == jnp.arange(16, dtype=jnp.int32)[None, None, :]
+                ).astype(jnp.int8)  # [B, O, 16]
+    out = []
+    for table in (_M_MATCH, _M_UNK):
+        G = jnp.take(jnp.asarray(table), F_nt, axis=0)  # [B, L, 16] i8
+        GP = jnp.pad(G, ((0, 0), (0, O - 1), (0, 0)))[:, L - O:, :]
+        lhs = GP.transpose(0, 2, 1)  # [B, 16, 2O-1]
+        rhs = onehot_R.transpose(0, 2, 1)  # [B(feat), 16, O]
+        conv = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            batch_group_count=B,
+            preferred_element_type=jnp.int32)  # [1, B, O]
+        out.append(jnp.flip(conv[0], axis=1))  # index o-1 = flip of k'
+    return out[0], out[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "O", "L2", "minoverlap", "maxoverlap",
+                     "num_kmers", "algo_kind", "threshold", "pmatch",
+                     "pmismatch", "nn", "nn_term"))
+def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
+                   L: int, O: int | None = None, L2: int | None = None,
+                   minoverlap: int = 2, maxoverlap: int = 0,
+                   num_kmers: int = 2, algo_kind: str = "counts",
+                   threshold: float = math.log(0.6),
+                   pmatch: float = 0.0, pmismatch: float = 0.0,
+                   nn: float = float(tables.QUAL_NN_SIMPLE_BAYESIAN),
+                   nn_term: float = 0.0,
+                   lut_match=None, lut_mismatch=None):
+    """One dispatch: counts + k-mer candidates + f32 selection +
+    reconstruction, packed for the tunnel.
+
+    fo/ro are per-pair primer offsets (host-computed; zeros otherwise).
+    For algo_kind "counts" the f32 score is nn*nncount + m*pmatch +
+    mm*pmismatch (the shared shape of simple_bayesian/uparse; ea_util,
+    flash and stitch are selected on host from the exact counts instead,
+    and besto32 here is only a warm guess for them). For "pear"/"rdp_mle"
+    the f32 LUT sum drives selection and is also returned for host-side
+    shortlist pruning.
+    """
+    B = fwd_nt.shape[0]
+    if O is None:
+        O = L  # overlap axis: only o <= min(flen, rlen) <= O matter
+    if L2 is None:
+        L2 = 2 * L  # merged-sequence axis: seq_len+1 <= flen+rlen
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    fo = fo.astype(jnp.int32)
+    ro = ro.astype(jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    nt16_f = fwd_nt.astype(jnp.int32) & 0x0F
+    nt16_r = rev_nt.astype(jnp.int32) & 0x0F
+
+    # ---- k-mer seeding (exact table semantics; see align.py) ----
+    cf = jnp.asarray(A._KCODE)[nt16_f]
+    cr = jnp.asarray(A._KCODE)[nt16_r]
+    kf = A._kmer_values_fwd(cf)
+    kr = A._kmer_values_rev(cr)
+    nonn_f = nt16_f != 0x0F
+    nonn_r = nt16_r != 0x0F
+    emit_f = A._window9_nonn(nonn_f, L) & (pos >= A.KMER_LEN) \
+        & (pos < flen[:, None])
+    w9r = A._window9_nonn(jnp.flip(nonn_r, axis=1), L)
+    emit_r = jnp.flip(w9r, axis=1) & (pos + A.KMER_LEN < rlen[:, None])
+    rank = A._occurrence_rank(kf, emit_f, L)
+    stored_f = emit_f & (rank < num_kmers)
+
+    # ---- aligned frames ----
+    F_nt = A._right_align(nt16_f, flen, L)
+    F_q = A._right_align(fwd_q.astype(jnp.int32), flen, L)
+    F_km = A._right_align(jnp.where(stored_f, kf, -1), flen, L, fill=-1)
+    R_nt = A._flip(nt16_r, rlen, L)
+    R_q = A._flip(rev_q.astype(jnp.int32), rlen, L)
+    R_km = A._flip(jnp.where(emit_r, kr, -2), rlen, L, fill=-2)
+    FP_q = A._flip(fwd_q.astype(jnp.int32), rlen, L)  # pear quirk
+
+    # ---- all-overlap comparison (both axes bounded by O: overlap-local
+    # position i < o <= O) ----
+    o_vals = jnp.arange(1, O + 1, dtype=jnp.int32)
+    i_vals = jnp.arange(O, dtype=jnp.int32)
+    idx = i_vals[None, :] + (L - o_vals[:, None])  # [O, O] into [L]
+    gather = lambda x: jnp.take(x, jnp.clip(idx, 0, L - 1), axis=1)
+    ivalid = i_vals[None, None, :] < o_vals[None, :, None]
+
+    import os as _os
+    o2d = o_vals[None, :]
+    nvalid = jnp.maximum(
+        0, jnp.minimum(o2d, rlen[:, None])
+        - jnp.maximum(0, o2d - flen[:, None]))  # [B, O]
+    counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", "gather")
+    if algo_kind in ("pear", "rdp_mle"):
+        # LUT scoring needs per-position quality pairing: keep the
+        # shifted-gather frame for these two algorithms
+        FS_nt = gather(F_nt)
+        valid = (ivalid
+                 & (i_vals[None, None, :]
+                    >= o_vals[None, :, None] - flen[:, None, None])
+                 & (i_vals[None, None, :] < rlen[:, None, None]))
+        Rb_nt = R_nt[:, None, :O]
+        n_mask = (FS_nt == 0x0F) | (Rb_nt == 0x0F)
+        raw_match = (FS_nt & Rb_nt) != 0
+        unk = jnp.sum(valid & n_mask, axis=2, dtype=jnp.int32)
+        m = jnp.sum(valid & ~n_mask & raw_match, axis=2, dtype=jnp.int32)
+        mm = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
+                     dtype=jnp.int32)
+    elif counts_impl == "conv":
+        # MXU path via per-sample grouped conv: numerically exact but the
+        # grouped lowering is slow on the current toolchain — kept for
+        # future toolchains behind PANDASEQ_TPU_COUNTS=conv
+        m, unk = _counts_conv(F_nt, R_nt, flen, rlen, L, O)
+        mm = nvalid - m - unk
+    else:
+        FS_nt = gather(F_nt)
+        valid = (ivalid
+                 & (i_vals[None, None, :]
+                    >= o_vals[None, :, None] - flen[:, None, None])
+                 & (i_vals[None, None, :] < rlen[:, None, None]))
+        Rb_nt = R_nt[:, None, :O]
+        n_mask = (FS_nt == 0x0F) | (Rb_nt == 0x0F)
+        raw_match = (FS_nt & Rb_nt) != 0
+        unk = jnp.sum(valid & n_mask, axis=2, dtype=jnp.int32)
+        m = jnp.sum(valid & ~n_mask & raw_match, axis=2, dtype=jnp.int32)
+        mm = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
+                     dtype=jnp.int32)
+
+    FS_km = gather(F_km)
+    cand = jnp.any((FS_km == R_km[:, None, :O]) & ivalid, axis=2)
+    packed_counts = (m | (mm << 10) | (cand.astype(jnp.int32) << 21))
+
+    # ---- candidate range + f32 scores ----
+    o2 = o_vals[None, :]
+    maxo = flen + rlen - minoverlap - fo - ro - 1
+    if maxoverlap == 0:
+        maxo = jnp.minimum(maxo, jnp.minimum(flen, rlen))
+    else:
+        maxo = jnp.minimum(maxo, maxoverlap)
+    in_range = (o2 >= minoverlap) & (o2 <= maxo[:, None])
+    cand_in = cand & in_range
+    none_found = ~jnp.any(cand_in, axis=1)
+    cand_in = jnp.where(none_found[:, None], in_range, cand_in)
+
+    if algo_kind in ("pear", "rdp_mle"):
+        FS_q = gather(F_q)
+        m_flat = jnp.asarray(lut_match, dtype=jnp.float32).reshape(-1)
+        mm_flat = jnp.asarray(lut_mismatch, dtype=jnp.float32).reshape(-1)
+        q2 = FP_q[:, None, :O] if algo_kind == "pear" else R_q[:, None, :O]
+        lut_idx = FS_q * 47 + q2
+        mv = jnp.take(m_flat, lut_idx)
+        mmv = jnp.take(mm_flat, lut_idx)
+        if algo_kind == "pear":
+            contrib = jnp.where(n_mask, jnp.float32(nn_term),
+                                jnp.where(raw_match, mv, mmv))
+        else:
+            contrib = jnp.where(raw_match, mv, mmv)
+        scores = jnp.sum(jnp.where(valid, contrib, 0.0), axis=2,
+                         dtype=jnp.float32)
+        lutsum = scores
+    elif algo_kind in ("ea_util", "flash", "stitch"):
+        mmf = mm.astype(jnp.float32)
+        unkf = unk.astype(jnp.float32)
+        nvf = jnp.maximum(nvalid, 1).astype(jnp.float32)
+        if algo_kind == "ea_util":
+            bad = mmf + unkf  # algo_ea_util.c:49-55
+            scores = jnp.log((bad * bad + 1.0) / nvf)
+        elif algo_kind == "flash":
+            # integer ratio quirk (algo_flash.c:59): log(bad / valid) with
+            # C size_t division
+            bad = mm + unk
+            ratio = bad // jnp.maximum(nvalid, 1)
+            scores = jnp.where(
+                nvalid == 0, jnp.float32(-2.0),
+                jnp.where(ratio > 0, jnp.log(ratio.astype(jnp.float32)),
+                          -jnp.inf))
+        else:  # stitch: uint64 wrap quirk (algo_stitch.c:40-56)
+            diff = m - mm
+            pos_s = jnp.log(jnp.maximum(diff.astype(jnp.float32), 1e-30)
+                            / (flen + rlen)[:, None].astype(jnp.float32))
+            # wrapped (negative) scores all round to log(2^64/len) in f64
+            # — equal, so C's strict > keeps the FIRST such offset; a
+            # single constant reproduces that tie-break under argmax
+            scores = jnp.where(diff > 0, pos_s,
+                               jnp.where(diff < 0, jnp.float32(60.0),
+                                         -jnp.inf))
+        lutsum = None
+    else:
+        tail = (o2 < flen[:, None]) | (o2 < rlen[:, None])
+        nn_count = jnp.where(tail,
+                             flen[:, None] + rlen[:, None] - 2 * o2 + unk,
+                             unk)
+        scores = (jnp.float32(nn) * nn_count.astype(jnp.float32)
+                  + m.astype(jnp.float32) * jnp.float32(pmatch)
+                  + mm.astype(jnp.float32) * jnp.float32(pmismatch))
+        lutsum = None
+
+    scores = jnp.where(cand_in, scores, -jnp.inf)
+    besto32 = jnp.argmax(scores, axis=1).astype(jnp.int32) + 1
+
+    # ---- reconstruction at the f32 winner ----
+    rec = A._reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen,
+                              fo, ro, besto32, L, L2=L2)
+    case = rec["case"].astype(jnp.int32)
+    fq = jnp.clip(rec["fq"].astype(jnp.int32), 0, 46)
+    rq = jnp.clip(rec["rq"].astype(jnp.int32), 0, 46)
+    pidx = case * 2209 + fq * 47 + rq
+    ascii_nt = jnp.asarray(_NT_ASCII)[rec["nt"].astype(jnp.int32) & 0x0F]
+
+    # two big transfers instead of seven small ones: the tunnel charges
+    # ~ms per dispatch, so everything is packed
+    seq = (pidx | (ascii_nt.astype(jnp.int32) << 16))  # [B, L2] i32
+    scalars = jnp.stack([
+        rec["seq_len"].astype(jnp.int32),
+        rec["degenerates"].astype(jnp.int32),
+        rec["overlap_mismatches"].astype(jnp.int32),
+        besto32,
+    ], axis=1)  # [B, 4]
+    out = dict(packed_counts=packed_counts, seq=seq, scalars=scalars)
+    if lutsum is not None:
+        out["lutsum"] = lutsum
+    return out
+
+
+def build_ptable(algo) -> np.ndarray:
+    """Host-side f64 table PTBL[case*2209 + fq*47 + rq] of exact per-base
+    log-probabilities for one algorithm (case codes from
+    align._reconstruct_core)."""
+    from ..assembler import _match_probability_vec
+
+    fqg, rqg = np.meshgrid(np.arange(47), np.arange(47), indexing="ij")
+    fqf = fqg.ravel()
+    rqf = rqg.ravel()
+    tbl = np.zeros(8 * 2209, dtype=np.float64)
+    qs = tables.QUAL_SCORE
+    nn = float(tables.QUAL_NN_SIMPLE_BAYESIAN)
+    mp_match = _match_probability_vec(algo, np.ones(2209, bool), fqf, rqf)
+    mp_mis = _match_probability_vec(algo, np.zeros(2209, bool), fqf, rqf)
+    for case in range(8):
+        base = case * 2209
+        if case == 1 or case == 7:
+            tbl[base:base + 2209] = qs[fqf]
+        elif case == 2 or case == 6:
+            tbl[base:base + 2209] = qs[rqf]
+        elif case == 3:
+            tbl[base:base + 2209] = mp_match
+        elif case == 4:
+            tbl[base:base + 2209] = mp_mis
+        elif case == 5:
+            tbl[base:base + 2209] = nn
+    return tbl

@@ -370,6 +370,7 @@ class OracleResult:
     slow: bool = False
     forward_length: int = 0  # panda_result_seq.forward_length
     reverse_length: int = 0
+    sequence_ascii: np.ndarray = None  # device-encoded ascii (fast path)
 
 
 @dataclass

@@ -141,10 +141,20 @@ def _parse_str(c: _Cursor, maxlen: int = _FIELD_LEN):
 
 
 def parse(input: str, policy: str = TAG_PRESENT):
-    """panda_seqid_parse_fail (seqid.c:143-285).
+    """panda_seqid_parse (seqid.c:127-133).
 
     Returns (direction, SeqId | None, format | None); direction 0 == failure.
     """
+    d, sid, fmt, _ = parse_fail(input, policy)
+    if d == 0:
+        return 0, None, None
+    return d, sid, fmt
+
+
+def parse_fail(input: str, policy: str = TAG_PRESENT):
+    """panda_seqid_parse_fail (seqid.c:143-285): like parse, but returns
+    (direction, partial SeqId, format | None, fail_position) so callers
+    (pandaseq-checkid) can point at the offending character."""
     sid = SeqId()
     c = _Cursor(input)
 
@@ -154,15 +164,15 @@ def parse(input: str, policy: str = TAG_PRESENT):
         c.i += 3
         value = _parse_sra_int(c)
         if value is None or not c.push():
-            return 0, None, None
+            return 0, sid, format, c.i
         sid.instrument = "%cRR%d" % (input[0], value)
         value = _parse_sra_int(c)
         if value is None or not c.push():
-            return 0, None, None
+            return 0, sid, format, c.i
         sid.lane = value
         if not c.push():
-            return 0, None, None
-        return 1, sid, format
+            return 0, sid, format, c.i
+        return 1, sid, format, c.i
 
     if "/" in input:
         # Count colons up to '#' (seqid.c:176-180)
@@ -180,61 +190,69 @@ def parse(input: str, policy: str = TAG_PRESENT):
             fields = ("instrument",)
         for f in fields:
             v = _parse_str(c)
-            if v is None or not c.push():
-                return 0, None, None
-            setattr(sid, f, v)
+            if v is None:
+                return 0, sid, format, c.i
+            setattr(sid, f, v)  # committed before the separator check
+            if not c.push():
+                return 0, sid, format, c.i
         for f in ("lane", "tile", "x", "y"):
             v = _parse_int(c)
-            if v is None or not c.push():
-                return 0, None, None
+            if v is None:
+                return 0, sid, format, c.i
             setattr(sid, f, v)
+            if not c.push():
+                return 0, sid, format, c.i
         # Tag, present only if the separator we just crossed was '#'
         # (seqid.c:224-234).
         if c.i > 0 and c.s[c.i - 1] == "#":
             tag = c.chunk_maybe()
             if len(tag) > PANDA_TAG_LEN:
-                return 0, None, None
+                return 0, sid, format, c.i
             sid.tag = tag
             if not c.push():
-                return 0, None, None
+                return 0, sid, format, c.i
         if policy != TAG_OPTIONAL and policy != (
                 TAG_ABSENT if sid.tag == "" else TAG_PRESENT):
-            return 0, None, None
+            return 0, sid, format, c.i
         v = _parse_int(c)
         if v is None:
-            return 0, None, None
-        return v, sid, format
+            return 0, sid, format, c.i
+        return v, sid, format, c.i
 
     # CASAVA 1.7+ (seqid.c:240-284)
     format = FMT_CASAVA_1_7
     for f in ("instrument", "run", "flowcell"):
         v = _parse_str(c)
-        if v is None or not c.push():
-            return 0, None, None
-        setattr(sid, f, v)
+        if v is None:
+            return 0, sid, format, c.i
+        setattr(sid, f, v)  # committed before the separator check
+        if not c.push():
+            return 0, sid, format, c.i
     for f in ("lane", "tile", "x", "y"):
         v = _parse_int(c)
-        if v is None or not c.push():
-            return 0, None, None
+        if v is None:
+            return 0, sid, format, c.i
         setattr(sid, f, v)
+        if not c.push():
+            return 0, sid, format, c.i
     mate = _parse_int(c)
     if mate is None or not c.push():
-        return 0, None, None
+        return 0, sid, format, c.i
     # filtered (string chunk, discarded)
     if c.cur() == "\0":
-        return 0, None, None
+        return 0, sid, format, c.i
     c.chunk_maybe()
     if not c.push():
-        return 0, None, None
+        return 0, sid, format, c.i
     # control bits (int, discarded)
     v = _parse_int(c)
     if v is None or not c.push():
-        return 0, None, None
+        return 0, sid, format, c.i
     tag = c.chunk_maybe()
     if len(tag) > PANDA_TAG_LEN:
-        return 0, None, None
+        return 0, sid, format, c.i
     sid.tag = tag
     if policy != TAG_OPTIONAL and policy != (
             TAG_ABSENT if sid.tag == "" else TAG_PRESENT):
-        return 0, None, None
-    return mate, sid, format
+        return 0, sid, format, c.i
+    return mate, sid, format, c.i

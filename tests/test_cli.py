@@ -1,0 +1,130 @@
+"""End-to-end CLI tests: the ``pandaseq`` CLI must be byte-identical to
+the reference binary on stdout and match its STAT counters."""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_oracle_golden import F1, F2, REF_BIN, _diff_head, _ensure_ref
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=ROOT)
+
+
+def run_cli(args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "pandaseq_tpu.cli.main", *args],
+        capture_output=True, env=ENV, cwd=ROOT, timeout=timeout)
+
+
+def run_ref(args):
+    _ensure_ref()
+    return subprocess.run([REF_BIN, "-T", "1", *args], capture_output=True)
+
+
+BASE = ["-f", F1, "-r", F2]
+
+
+@pytest.mark.parametrize("extra", [
+    [],
+    ["-F"],
+    ["-o", "40"],
+    ["-t", "0.8"],
+    ["-A", "rdp_mle"],
+    ["-N", "-l", "250", "-L", "460"],
+    ["-C", "min_phred:10"],
+])
+def test_cli_stdout_bit_identical(extra):
+    ref = run_ref(BASE + extra)
+    got = run_cli(BASE + extra)
+    assert got.stdout == ref.stdout, _diff_head(ref.stdout, got.stdout)
+    assert got.returncode == ref.returncode
+
+
+def test_cli_stat_counters_match():
+    ref = run_ref(BASE)
+    got = run_cli(BASE)
+    pat = r"STAT\t(READS|NOALGN|LOWQ|BADR|SLOW|OK)\t(\d+)"
+    ref_stats = dict(re.findall(pat, ref.stderr.decode()))
+    got_stats = dict(re.findall(pat, got.stderr.decode()))
+    assert ref_stats == got_stats
+    # OVERLAPS histogram line
+    ref_h = re.search(r"STAT\tOVERLAPS\t([\d ]+)", ref.stderr.decode())
+    got_h = re.search(r"STAT\tOVERLAPS\t([\d ]+)", got.stderr.decode())
+    assert ref_h.group(1) == got_h.group(1)
+
+
+def test_cli_output_file(tmp_path):
+    out = tmp_path / "out.fasta"
+    ref = run_ref(BASE)
+    got = run_cli(BASE + ["-w", str(out)])
+    assert got.stdout == b""
+    assert out.read_bytes() == ref.stdout
+
+
+def test_cli_output_bz2(tmp_path):
+    import bz2
+    out = tmp_path / "out.fasta.bz2"
+    ref = run_ref(BASE)
+    run_cli(BASE + ["-W", str(out)])
+    assert bz2.decompress(out.read_bytes()) == ref.stdout
+
+
+def test_cli_log_file(tmp_path):
+    log = tmp_path / "log.txt"
+    got = run_cli(BASE + ["-g", str(log)])
+    assert b"STAT\tOK" in log.read_bytes()
+    assert got.returncode == 0
+
+
+def test_cli_version_and_help():
+    v = run_cli(["-v"])
+    assert v.returncode == 1
+    assert b"pandaseq" in v.stderr
+    h = run_cli(["-h"])
+    assert h.returncode == 1
+    assert b"-A algorithm" in h.stderr
+    assert b"min_phred" in h.stderr
+
+
+def test_cli_missing_files():
+    r = run_cli([])
+    assert r.returncode == 1
+    assert b"You must supply both forward and reverse reads." in r.stderr
+
+
+def test_cli_unaligned_file(tmp_path):
+    """-u collects NOALGN pairs exactly as the reference does."""
+    fail_ref = tmp_path / "ref_unaligned.txt"
+    fail_got = tmp_path / "got_unaligned.txt"
+    # -o 400 forces alignment failures (overlap can never reach 400)
+    extra = ["-o", "260"]
+    ref = run_ref(BASE + extra + ["-u", str(fail_ref)])
+    got = run_cli(BASE + extra + ["-u", str(fail_got)])
+    assert fail_got.read_bytes() == fail_ref.read_bytes()
+    assert got.stdout == ref.stdout
+
+
+def test_cli_gzip_input(tmp_path):
+    import gzip
+    g1 = tmp_path / "f1.fastq.gz"
+    g2 = tmp_path / "f2.fastq.gz"
+    g1.write_bytes(gzip.compress(open(F1, "rb").read()))
+    g2.write_bytes(gzip.compress(open(F2, "rb").read()))
+    ref = run_ref(BASE)
+    got = run_cli(["-f", str(g1), "-r", str(g2)])
+    assert got.stdout == ref.stdout
+
+
+def test_cli_bz2_input(tmp_path):
+    import bz2
+    b1 = tmp_path / "f1.fastq.bz2"
+    b2 = tmp_path / "f2.fastq.bz2"
+    b1.write_bytes(bz2.compress(open(F1, "rb").read()))
+    b2.write_bytes(bz2.compress(open(F2, "rb").read()))
+    ref = run_ref(BASE)
+    got = run_cli(["-f", str(b1), "-r", str(b2)])
+    assert got.stdout == ref.stdout

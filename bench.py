@@ -102,7 +102,8 @@ def bench_tpu() -> float:
     n_in = 0
     n_out = 0
     sink = bytearray()
-    for _, results in asm.assemble_stream(batches()):
+    from pandaseq_tpu.io.prefetch import prefetch
+    for _, results in asm.assemble_stream(prefetch(batches())):
         for code, res in results:
             n_in += 1
             if code == "OK":

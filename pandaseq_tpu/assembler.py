@@ -425,24 +425,11 @@ class BatchAssembler:
             f32 = np.asarray(dev["lutsum"]).astype(np.float64)
             f32 = np.where(cand_in, f32, -np.inf)
             best32 = f32.max(axis=1, initial=-np.inf)
-            aligned = np.zeros(B, dtype=bool)
-            besto = np.ones(B, dtype=np.int64)
-            best = np.full(B, -np.inf)
-            for b in range(B):
-                if skip[b]:
-                    continue
-                sus = np.flatnonzero(
-                    cand_in[b] & ((f32[b] >= best32[b] - _EPS)
-                                  | (np.abs(f32[b] - floor[b]) <= _EPS)))
-                exact = _exact_rescore(algo, batch.pairs[b], sus + 1)
-                bb, bo = floor[b], -1
-                for oo in sorted(exact):
-                    if exact[oo] > bb:
-                        bb, bo = exact[oo], oo
-                if bo != -1:
-                    aligned[b] = True
-                    besto[b] = bo
-                    best[b] = bb
+            sus = (cand_in & ~skip[:, None]
+                   & ((f32 >= best32[:, None] - _EPS)
+                      | (np.abs(f32 - floor[:, None]) <= _EPS)))
+            aligned, besto, best = self._exact_select_lut(
+                batch, sus, flen, rlen, floor)
         else:
             scores = _scores_from_counts(algo, m, mm, unk, valid,
                                          flen[:, None], rlen[:, None], o)
@@ -558,6 +545,63 @@ class BatchAssembler:
             self.counters.record_overlap(res.overlap)
             out[b] = ("OK", res)
         return out
+
+    def _exact_select_lut(self, batch, sus, flen, rlen, floor):
+        """Vectorized exact f64 re-scoring of the shortlisted (pair,
+        overlap) combos for the per-base-LUT algorithms (pear/rdp_mle),
+        reproducing the C loop's ascending-index f64 accumulation via
+        masked cumsum and its strict-> first-max selection."""
+        algo = self.cfg.algorithm
+        B = sus.shape[0]
+        aligned = np.zeros(B, dtype=bool)
+        besto = np.ones(B, dtype=np.int64)
+        best = np.full(B, -np.inf)
+        bs, os0 = np.nonzero(sus)  # row-major: ascending (b, o)
+        if len(bs) == 0:
+            return aligned, besto, best
+        o_arr = (os0 + 1).astype(np.int64)
+        L = self.L
+        I = np.arange(L, dtype=np.int64)[None, :]
+        fi = flen[bs, None] - o_arr[:, None] + I
+        ri = rlen[bs, None] - 1 - I
+        inb = ((I < o_arr[:, None]) & (fi >= 0) & (fi < flen[bs, None])
+               & (ri >= 0) & (ri < rlen[bs, None]))
+        fic = np.clip(fi, 0, L - 1)
+        ric = np.clip(ri, 0, L - 1)
+        fnt = (batch.fwd_nt[bs[:, None], fic].astype(np.int32) & 0x0F)
+        rnt = (batch.rev_nt[bs[:, None], ric].astype(np.int32) & 0x0F)
+        isn = (fnt == 0x0F) | (rnt == 0x0F)
+        match = (fnt & rnt) != 0
+        if algo.name == "pear":
+            # quality quirk: BOTH indices read the fwd buffer
+            qa = np.clip(batch.fwd_q[bs[:, None], fic], 0, 46)
+            qb = np.clip(batch.fwd_q[bs[:, None], ric], 0, 46)
+            v = np.where(isn, -algo.random_base,
+                         np.where(match, QUAL_MATCH_PEAR[qa, qb],
+                                  QUAL_MISMATCH_PEAR[qa, qb]))
+        else:  # rdp_mle: per-element (LUT - nn) like the C loop
+            qa = np.clip(batch.fwd_q[bs[:, None], fic], 0, 46)
+            qb = np.clip(batch.rev_q[bs[:, None], ric], 0, 46)
+            v = np.where(match,
+                         QUAL_MATCH_SIMPLE_BAYESIAN[qa, qb] - _NN,
+                         QUAL_MISMATCH_RDP_MLE[qa, qb] - _NN)
+        sums = np.cumsum(np.where(inb, v, 0.0), axis=1)[:, -1]
+
+        # per-pair first-strict-max over ascending o (reference
+        # assembler.c:131-134 strict > keeps the earliest max)
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        seg_best = np.maximum.reduceat(sums, starts)
+        seg_ids = np.repeat(np.arange(len(starts)),
+                            np.diff(np.r_[starts, len(bs)]))
+        is_max = sums == seg_best[seg_ids]
+        first_o = np.minimum.reduceat(
+            np.where(is_max, o_arr, np.int64(1 << 40)), starts)
+        b_of_seg = bs[starts]
+        win = seg_best > floor[b_of_seg]
+        aligned[b_of_seg[win]] = True
+        besto[b_of_seg[win]] = first_o[win]
+        best[b_of_seg[win]] = seg_best[win]
+        return aligned, besto, best
 
     def _post_primers_and_threshold(self, res):
         cfg = self.cfg

@@ -417,8 +417,9 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
             if pairs:
                 yield pairs
 
+    from ..io.prefetch import prefetch
     done = 0
-    for pairs, results in asm.assemble_stream(batches()):
+    for pairs, results in asm.assemble_stream(prefetch(batches())):
         for pair, (code, res) in zip(pairs, results):
             done += 1
             count = done

@@ -49,6 +49,51 @@ for _a in range(1, 16):
             _M_MATCH[_a, _b] = 1
 
 
+def _skew_diag_reduce(X, O, op="sum"):
+    """Reduce X[b, j, i] over the diagonals j+i via the classic
+    pad-and-reshape skew: padding rows of an [O, O] plane to width 2O
+    makes the flattened row-major layout place (j, i) at column j+i of
+    an [O, 2O-1] view, so diagonal reductions become column
+    reductions."""
+    B = X.shape[0]
+    W2 = 2 * O - 1
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (0, O)))
+    flat = Xp.reshape(B, O * 2 * O)[:, :O * W2]
+    S = flat.reshape(B, O, W2)
+    if op == "sum":
+        return jnp.sum(S, axis=1, dtype=jnp.int32)[:, :O]
+    return jnp.max(S, axis=1)[:, :O]
+
+
+def _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen, L, O):
+    """matches/unknowns/k-mer candidates for every overlap via
+    broadcast-compare + diagonal reduction (no gather, no loop).
+
+    With the forward frame right-aligned and the reverse frame flipped,
+    overlap o pairs F[j] with R[i] exactly when L - j + i == o; with
+    j' = L-1-j that is the constant-(j'+i) diagonal o = j'+i+1, and only
+    j' < O can contribute, so the compare plane is [B, O, O]. Pad codes
+    (0) belong to neither class, so the overlap-band masks are implied.
+    """
+    Fr = jnp.flip(F_nt, axis=1)[:, :O]  # row j' = L-1-j; o = j'+i+1
+    f = Fr[:, :, None]
+    r = R_nt[:, None, :O]
+    f_pad = f == 0
+    r_pad = r == 0
+    n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
+    match = ((f & r) != 0) & ~n_mask
+    contrib = (match.astype(jnp.int16)
+               + (n_mask.astype(jnp.int16) << 10))  # [B, O, O]
+    sums = _skew_diag_reduce(contrib, O)
+    m = (sums & 0x3FF).astype(jnp.int32)
+    unk = (sums >> 10).astype(jnp.int32)
+
+    kq = ((jnp.flip(F_km, axis=1)[:, :O, None] == R_km[:, None, :O])
+          .astype(jnp.int8))
+    cand = _skew_diag_reduce(kq, O, op="max") != 0
+    return m, unk, cand
+
+
 def _counts_conv(F_nt, R_nt, flen, rlen, L, O):
     """matches/unknowns for every overlap o in 1..O via two per-sample
     int8 convolutions (jax.lax.conv batch_group_count=B).
@@ -153,7 +198,9 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     nvalid = jnp.maximum(
         0, jnp.minimum(o2d, rlen[:, None])
         - jnp.maximum(0, o2d - flen[:, None]))  # [B, O]
-    counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", "gather")
+    default_impl = "skew" if jax.default_backend() == "tpu" else "gather"
+    counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", default_impl)
+    cand = None
     if algo_kind in ("pear", "rdp_mle"):
         # LUT scoring needs per-position quality pairing: keep the
         # shifted-gather frame for these two algorithms
@@ -169,6 +216,18 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         m = jnp.sum(valid & ~n_mask & raw_match, axis=2, dtype=jnp.int32)
         mm = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
                      dtype=jnp.int32)
+    elif counts_impl == "skew":
+        m, unk, cand = _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen,
+                                    L, O)
+        mm = nvalid - m - unk
+    elif counts_impl == "pallas":
+        from . import pallas_score
+        packed_k = pallas_score.count_all_overlaps(
+            F_nt, R_nt[:, :O], F_km, R_km[:, :O], flen, rlen, L=L, O=O)
+        m = packed_k & 0x3FF
+        unk = (packed_k >> 10) & 0x3FF
+        cand = (packed_k >> 20) != 0
+        mm = nvalid - m - unk
     elif counts_impl == "conv":
         # MXU path via per-sample grouped conv: numerically exact but the
         # grouped lowering is slow on the current toolchain — kept for
@@ -189,8 +248,9 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         mm = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
                      dtype=jnp.int32)
 
-    FS_km = gather(F_km)
-    cand = jnp.any((FS_km == R_km[:, None, :O]) & ivalid, axis=2)
+    if cand is None:
+        FS_km = gather(F_km)
+        cand = jnp.any((FS_km == R_km[:, None, :O]) & ivalid, axis=2)
     packed_counts = (m | (mm << 10) | (cand.astype(jnp.int32) << 21))
 
     # ---- candidate range + f32 scores ----

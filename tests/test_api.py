@@ -1,0 +1,96 @@
+"""Library API surface (api.Assembler), idset, url reader, prefetch."""
+
+import numpy as np
+import pytest
+
+from tests.test_oracle_golden import F1, F2, _ensure_ref, ref_output
+
+
+def test_assembler_stream_matches_reference():
+    import pandaseq_tpu as pt
+    from pandaseq_tpu.io import output as out_mod
+
+    asm = pt.Assembler()
+    chunks = [out_mod.format_fasta(res)
+              for res in asm.stream(F1, F2)]
+    assert b"".join(chunks) == ref_output([])
+
+
+def test_assembler_single_pair():
+    import pandaseq_tpu as pt
+
+    asm = pt.Assembler()
+    amp = ("ACGTACGTACGTTACGGACCTAGGACTTACGATCGGACTACGGTACCGTA"
+           "GGATCCTAGCATCGATCGGATCCGATTACAGCATCGATCAGGATCCAGCT")
+    fwd = amp[:70]
+    rev = _revcomp(amp)[:70]
+    res, code = asm.assemble("pair1", fwd, rev)
+    assert code == "OK"
+    assert res.sequence == amp
+    assert res.overlap == 40
+
+
+def _revcomp(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def test_assembler_setters():
+    import pandaseq_tpu as pt
+
+    asm = pt.Assembler()
+    asm.algorithm = "pear"
+    assert asm.algorithm == "pear"
+    asm.threshold = 0.8
+    assert abs(asm.threshold - 0.8) < 1e-12
+    asm.minimum_overlap = 10
+    asm.maximum_overlap = 100
+    asm.num_kmers = 3
+    asm.set_forward_primer("ACGT")
+    assert list(asm.cfg.forward_primer) == [1, 2, 4, 8]
+    asm.set_reverse_primer("ACGT")  # stored complemented
+    assert list(asm.cfg.reverse_primer) == [8, 4, 2, 1]
+    asm.add_module("min_phred:5")
+    assert asm.modules[0].name == "min_phred"
+
+
+def test_idset():
+    from pandaseq_tpu.idset import IdSet
+
+    s = IdSet()
+    hdr = "M00000:7:000000000-TEST1:1:1101:10000:2000 1:N:0:ACGTAC"
+    assert s.add_str("@" + hdr)
+    assert len(s) == 1
+    from pandaseq_tpu import seqid
+    _, sid, _ = seqid.parse(hdr, seqid.TAG_PRESENT)
+    assert s.contains(sid)
+    assert sid in s
+    assert not s.add_str("garbage###")
+
+
+def test_open_url_file(tmp_path):
+    import gzip
+    from pandaseq_tpu.io.url import open_url
+
+    p = tmp_path / "x.fastq.gz"
+    p.write_bytes(gzip.compress(b"@r\nACGT\n+\nIIII\n"))
+    with open_url("file://" + str(p)) as fh:
+        assert fh.read() == b"@r\nACGT\n+\nIIII\n"
+    # plain path passthrough
+    q = tmp_path / "y.fastq"
+    q.write_bytes(b"@r\nACGT\n+\nIIII\n")
+    assert open_url(str(q)).read() == b"@r\nACGT\n+\nIIII\n"
+
+
+def test_prefetch_order_and_errors():
+    from pandaseq_tpu.io.prefetch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)

@@ -1,0 +1,46 @@
+"""Distributed driver on a single process (virtual 8-device CPU mesh):
+output equality with the single-stream path, counter psum, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_oracle_golden import F1, F2, ref_output
+
+
+def test_run_distributed_single_host(tmp_path):
+    from pandaseq_tpu.parallel import distributed
+
+    counters, hist = distributed.run_distributed(
+        [(F1, F2)], out_dir=str(tmp_path), batch=64)
+    out = (tmp_path / "part-00000.fasta").read_bytes()
+    assert out == ref_output([])
+    # vector: count, ok, noalgn, lowq, badread, slow, nofp, norp
+    assert counters[0] == 200
+    assert counters[1] == int(out.count(b">"))
+    assert sum(hist.values()) == counters[1]
+
+
+def test_run_distributed_resume(tmp_path):
+    from pandaseq_tpu.parallel import distributed
+
+    ck = str(tmp_path / "ck.jsonl")
+    distributed.run_distributed([(F1, F2)], out_dir=str(tmp_path),
+                                batch=64, checkpoint=ck)
+    first = (tmp_path / "part-00000.fasta").read_bytes()
+    # resume immediately: everything is done, nothing gets appended
+    distributed.run_distributed([(F1, F2)], out_dir=str(tmp_path),
+                                batch=64, checkpoint=ck)
+    assert (tmp_path / "part-00000.fasta").read_bytes() == first
+
+
+def test_shard_inputs():
+    from pandaseq_tpu.parallel.distributed import shard_inputs
+
+    inputs = [(f"f{i}", f"r{i}") for i in range(10)]
+    a = shard_inputs(inputs, 0, 3)
+    b = shard_inputs(inputs, 1, 3)
+    c = shard_inputs(inputs, 2, 3)
+    assert sorted(a + b + c) == sorted(inputs)
+    assert len(a) == 4 and len(b) == 3 and len(c) == 3

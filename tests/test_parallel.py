@@ -1,0 +1,67 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: the sharded
+step must agree with the single-device fused fast path, counters must
+psum correctly, and the driver entry points must run."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _example(B, L, seed=3):
+    rng = np.random.RandomState(seed)
+    onehot = np.array([1, 2, 4, 8], dtype=np.int8)
+    fwd_nt = onehot[rng.randint(0, 4, size=(B, L))]
+    rev_nt = onehot[rng.randint(0, 4, size=(B, L))]
+    fwd_q = rng.randint(2, 41, size=(B, L)).astype(np.int8)
+    rev_q = rng.randint(2, 41, size=(B, L)).astype(np.int8)
+    flen = np.full(B, min(120, L), dtype=np.int32)
+    rlen = np.full(B, min(120, L), dtype=np.int32)
+    # overlap structure: make reverse's flipped prefix match forward tail
+    for b in range(B // 2):
+        ov = 40 + (b % 20)
+        f = fwd_nt[b, :120]
+        comp = np.array([0, 8, 4, 0, 2, 0, 0, 0, 1], dtype=np.int8)
+        rev_nt[b, :ov] = comp[f[120 - ov:][::-1]]
+    return fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_matches_single_device():
+    from pandaseq_tpu.ops.align import assemble_step
+    from pandaseq_tpu.parallel import shard
+
+    L = 128
+    B = 32
+    args = _example(B, L)
+    mesh = shard.make_mesh(8, op=2)
+    step = shard.make_sharded_step(mesh, L=L)
+    sharded = step(*shard.shard_batch(mesh, args))
+    single = assemble_step(*args, L=L)
+
+    np.testing.assert_array_equal(np.asarray(sharded["ok"]),
+                                  np.asarray(single["ok"]))
+    np.testing.assert_array_equal(np.asarray(sharded["overlap"]),
+                                  np.asarray(single["overlap"]))
+    np.testing.assert_array_equal(np.asarray(sharded["seq_len"]),
+                                  np.asarray(single["seq_len"]))
+    counters = np.asarray(sharded["counters"])
+    assert counters[0] == B
+    assert counters[1] == int(np.asarray(single["counters"]["ok"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out["counters"]["reads"]) == args[0].shape[0]

@@ -21,8 +21,10 @@ DATA = os.path.join(ROOT, "tests", "data")
 B1 = os.path.join(DATA, "bench_1.fastq")
 B2 = os.path.join(DATA, "bench_2.fastq")
 REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", "20000"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+# exact multiple of BATCH so no partial-batch shape compiles mid-timing
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 40)))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
 
 
 def log(msg):
@@ -92,10 +94,9 @@ def bench_tpu() -> float:
 
     log("decoder: %s" % ("native C++" if use_native else "python"))
     asm = BatchAssembler(L=512)
-    # warm-up compile on the first batch
+    # warm-up compile across every shape bucket
     for b in batches():
         asm.assemble_batch(b)
-        break
 
     asm = BatchAssembler(L=512)
     t0 = time.perf_counter()
@@ -103,7 +104,9 @@ def bench_tpu() -> float:
     n_out = 0
     sink = bytearray()
     from pandaseq_tpu.io.prefetch import prefetch
-    for _, results in asm.assemble_stream(prefetch(batches())):
+    for _, results in asm.assemble_stream(prefetch(batches(),
+                                                   depth=DEPTH + 2),
+                                          depth=DEPTH):
         for code, res in results:
             n_in += 1
             if code == "OK":

@@ -468,4 +468,27 @@ void psq_close(void *handle) {
     delete r;
 }
 
+// Exact mean-quality finalization (assembler.c:161-244): per merged base
+// the device ships pidx = case*2209 + fq*47 + rq (case|quals provenance);
+// the per-algorithm f64 table ptbl maps pidx -> log p. The C reference
+// accumulates three region sums (forward copy, overlap, reverse copy) in
+// position order and computes (f + r + o) / (len + 1) — reproduced here
+// bit-for-bit in one pass, replacing three [B, L2] float64 cumsums.
+void psq_quality(const int32_t *seq, long B, long L2, const double *ptbl,
+                 const int32_t *seq_len, double *quality) {
+    for (long b = 0; b < B; b++) {
+        const int32_t *row = seq + b * L2;
+        double fsum = 0.0, osum = 0.0, rsum = 0.0;
+        for (long j = 0; j < L2; j++) {
+            int32_t pidx = row[j] & 0xFFFF;
+            int cse = pidx / 2209;
+            double p = ptbl[pidx];
+            if (cse == 1) fsum += p;
+            else if (cse == 2) rsum += p;
+            else if (cse >= 3) osum += p;
+        }
+        quality[b] = (fsum + rsum + osum) / (double) (seq_len[b] + 1);
+    }
+}
+
 }  // extern "C"

@@ -45,6 +45,25 @@ def _bucket(n: int, step: int = 128) -> int:
     return ((max(n, 1) + step - 1) // step) * step
 
 
+def _segmented_first_max(bs, o_arr, sums, floor, aligned, besto, best):
+    """Per-pair first-strict-max over ascending o for flat (pair, o)
+    combos sorted row-major (the reference's ascending loop with strict >
+    keeps the earliest maximum, assembler.c:131-134). Mutates
+    aligned/besto/best in place."""
+    starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    seg_best = np.maximum.reduceat(sums, starts)
+    seg_ids = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(bs)]))
+    is_max = sums == seg_best[seg_ids]
+    first_o = np.minimum.reduceat(
+        np.where(is_max, o_arr, np.int64(1 << 40)), starts)
+    b_of_seg = bs[starts]
+    win = seg_best > floor[b_of_seg]
+    aligned[b_of_seg[win]] = True
+    besto[b_of_seg[win]] = first_o[win]
+    best[b_of_seg[win]] = seg_best[win]
+
+
 @dataclass
 class Batch:
     sids: list
@@ -225,11 +244,17 @@ class BatchAssembler:
     """Assembles batches of read pairs with reference-identical output."""
 
     def __init__(self, cfg: OracleConfig | None = None, L: int = 512,
-                 modules=()):
+                 modules=(), need_p: bool | None = None):
         self.cfg = cfg or OracleConfig()
         self.L = L
         self.modules = list(modules)
         self.counters = Counters()
+        # per-base probabilities are only materialized when something
+        # consumes them (FASTQ output, filter modules, post primers);
+        # otherwise quality comes from the native single-pass kernel
+        if need_p is None:
+            need_p = bool(self.modules) or self.cfg.post_primers
+        self.need_p = need_p
         algo = self.cfg.algorithm
         name = algo.name
         if name in ("pear", "rdp_mle"):
@@ -261,20 +286,24 @@ class BatchAssembler:
         dev = self._dispatch(st)
         return self._finalize(st, dev)
 
-    def assemble_stream(self, pair_batches):
-        """Pipelined driver: yields one result list per input batch, with
-        batch k+1's device step dispatched before batch k's host
-        finalization (the async-reader/pool overlap of the reference,
-        async.c/pool.c, as device/host overlap)."""
-        prev = None
+    def assemble_stream(self, pair_batches, depth: int = 3):
+        """Pipelined driver: yields one result list per input batch,
+        keeping up to ``depth`` batches in flight on the device before
+        finalizing the oldest (the async-reader/pool overlap of the
+        reference, async.c/pool.c, as device/host overlap; a deeper
+        queue hides the tunnel's per-dispatch latency)."""
+        from collections import deque
+        q = deque()
         for pairs in pair_batches:
             st = self._pre(pairs)
             dev = self._dispatch(st)
-            if prev is not None:
-                yield prev[0]["pairs"], self._finalize(*prev)
-            prev = (st, dev)
-        if prev is not None:
-            yield prev[0]["pairs"], self._finalize(*prev)
+            q.append((st, dev))
+            if len(q) > depth:
+                st0, dev0 = q.popleft()
+                yield st0["pairs"], self._finalize(st0, dev0)
+        while q:
+            st0, dev0 = q.popleft()
+            yield st0["pairs"], self._finalize(st0, dev0)
 
     def _pre(self, pairs):
         """Host stage 0: decode batch, badread, prechecks, primers.
@@ -368,7 +397,7 @@ class BatchAssembler:
         kw = {}
         if self._algo_kind in ("pear", "rdp_mle"):
             kw = dict(lut_match=self._lut_m, lut_mismatch=self._lut_mm)
-        return self._fused.assemble_fused(
+        out = self._fused.assemble_fused(
             batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
             batch.flen, batch.rlen,
             st["fo"].astype(np.int32), st["ro"].astype(np.int32),
@@ -377,6 +406,11 @@ class BatchAssembler:
             algo_kind=self._algo_kind, pmatch=float(self._pmatch),
             pmismatch=float(self._pmismatch),
             nn_term=float(self._nn_term), **kw)
+        try:  # overlap device->host copy with the next batch's compute
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
 
     def _finalize(self, st, dev):
         cfg = self.cfg
@@ -390,9 +424,11 @@ class BatchAssembler:
         shortread, maxo, negs = st["shortread"], st["maxo"], st["negs"]
         out = [(None, None)] * B
 
-        packed = np.asarray(dev["packed_counts"])
-        seq = np.asarray(dev["seq"])
-        scalars = np.asarray(dev["scalars"]).astype(np.int64)
+        O, L2 = st["O"], st["L2"]
+        allp = np.asarray(dev)
+        packed = allp[:, :O]
+        seq = allp[:, O:O + L2]
+        scalars = allp[:, O + L2:O + L2 + 4].astype(np.int64)
         pidx = seq & 0xFFFF
         ascii_all = ((seq >> 16) & 0xFF).astype(np.uint8)
         seq_len = scalars[:, 0]
@@ -403,7 +439,6 @@ class BatchAssembler:
         m = (packed & 0x3FF).astype(np.int64)
         mm = ((packed >> 10) & 0x7FF).astype(np.int64)
         cand = (packed >> 21) != 0
-        O = packed.shape[1]
         o = np.arange(1, O + 1, dtype=np.int64)[None, :]
         # valid(o) is deterministic given the lengths (no transfer needed)
         valid = np.maximum(
@@ -422,7 +457,8 @@ class BatchAssembler:
         algo = cfg.algorithm
         skip = badread | prerej | nofp | norp | negs | shortread
         if self._algo_kind in ("pear", "rdp_mle"):
-            f32 = np.asarray(dev["lutsum"]).astype(np.float64)
+            f32 = (allp[:, O + L2 + 4:O + L2 + 4 + O]
+                   .view(np.float32).astype(np.float64))
             f32 = np.where(cand_in, f32, -np.inf)
             best32 = f32.max(axis=1, initial=-np.inf)
             sus = (cand_in & ~skip[:, None]
@@ -431,13 +467,26 @@ class BatchAssembler:
             aligned, besto, best = self._exact_select_lut(
                 batch, sus, flen, rlen, floor)
         else:
-            scores = _scores_from_counts(algo, m, mm, unk, valid,
-                                         flen[:, None], rlen[:, None], o)
-            scores = np.where(cand_in, scores, -np.inf)
-            scores = np.where(np.isnan(scores), -np.inf, scores)
-            best = scores.max(axis=1, initial=-np.inf)
-            besto = scores.argmax(axis=1) + 1  # first occurrence == C rule
-            aligned = (best > floor) & ~skip
+            # device f32 scores prune to a shortlist; only those offsets
+            # are re-scored exactly in f64 from the integer counts
+            f32s = (allp[:, O + L2 + 4:O + L2 + 4 + O]
+                    .view(np.float32).astype(np.float64))
+            best32 = f32s.max(axis=1, initial=-np.inf)
+            sus = (cand_in & ~skip[:, None]
+                   & ((f32s >= best32[:, None] - _EPS)
+                      | (np.abs(f32s - floor[:, None]) <= _EPS)))
+            bs, os0 = np.nonzero(sus)
+            aligned = np.zeros(B, dtype=bool)
+            besto = np.ones(B, dtype=np.int64)
+            best = np.full(B, -np.inf)
+            if len(bs):
+                o_arr = (os0 + 1).astype(np.int64)
+                sums = _scores_from_counts(
+                    algo, m[bs, os0], mm[bs, os0], unk[bs, os0],
+                    valid[bs, os0], flen[bs], rlen[bs], o_arr)
+                sums = np.where(np.isnan(sums), -np.inf, sums)
+                _segmented_first_max(bs, o_arr, sums, floor, aligned,
+                                     besto, best)
 
         # --- stage 3: exact-vs-f32 winner check; oracle fallback for the
         # (rare) pairs where the device's f32 selection differs ---
@@ -449,20 +498,26 @@ class BatchAssembler:
                 int(rlen[b]), int(fo[b]), int(ro[b]))
             fb[int(b)] = res if code == "OK" else None
 
-        # --- stage 4: exact per-base probabilities + quality (host f64,
-        # vectorized via the per-algorithm PTBL lookup) ---
-        p = self._ptbl[np.clip(pidx, 0, self._ptbl.shape[0] - 1)]
-        case = pidx // 2209
-        is_fwd = (case == 1)
-        is_rev = (case == 2)
-        is_ovl = (case >= 3)
-        # region-ordered sequential sums: masked cumsum == the C loop's
-        # accumulation (adding 0.0 is exact); grouping (f + r) + o matches
-        # assembler.c:244
-        fsum = np.cumsum(np.where(is_fwd, p, 0.0), axis=1)[:, -1]
-        osum = np.cumsum(np.where(is_ovl, p, 0.0), axis=1)[:, -1]
-        rsum = np.cumsum(np.where(is_rev, p, 0.0), axis=1)[:, -1]
-        quality = (fsum + rsum + osum) / (seq_len + 1).astype(np.float64)
+        # --- stage 4: exact quality (and, when consumed, per-base
+        # probabilities) in f64 via the per-algorithm PTBL lookup ---
+        quality = None
+        if not self.need_p:
+            from .io import native as _native
+            quality = _native.quality(seq, self._ptbl, seq_len)
+            p = None
+        if quality is None:
+            p = self._ptbl[np.clip(pidx, 0, self._ptbl.shape[0] - 1)]
+            case = pidx // 2209
+            is_fwd = (case == 1)
+            is_rev = (case == 2)
+            is_ovl = (case >= 3)
+            # region-ordered sequential sums: masked cumsum == the C
+            # loop's accumulation (adding 0.0 is exact); grouping
+            # (f + r) + o matches assembler.c:244
+            fsum = np.cumsum(np.where(is_fwd, p, 0.0), axis=1)[:, -1]
+            osum = np.cumsum(np.where(is_ovl, p, 0.0), axis=1)[:, -1]
+            rsum = np.cumsum(np.where(is_rev, p, 0.0), axis=1)[:, -1]
+            quality = (fsum + rsum + osum) / (seq_len + 1).astype(np.float64)
 
         length_bad = (seq_len + 1 <= 0) | (seq_len + 1 > 2 * oracle.MAX_LEN)
 
@@ -515,7 +570,8 @@ class BatchAssembler:
                 n = int(seq_len[b])
                 res.sequence_ascii = ascii_all[b, :n]
                 res.sequence_nt = IUPAC_FORWARD[ascii_all[b, :n] & 0x1F]
-                res.sequence_p = p[b, :n]
+                res.sequence_p = p[b, :n] if p is not None else \
+                    self._ptbl[pidx[b, :n]]  # lazy per-record fallback
                 res.sequence_length = n
                 res.quality = float(quality[b])
                 res.overlap = int(besto[b])
@@ -586,21 +642,7 @@ class BatchAssembler:
                          QUAL_MATCH_SIMPLE_BAYESIAN[qa, qb] - _NN,
                          QUAL_MISMATCH_RDP_MLE[qa, qb] - _NN)
         sums = np.cumsum(np.where(inb, v, 0.0), axis=1)[:, -1]
-
-        # per-pair first-strict-max over ascending o (reference
-        # assembler.c:131-134 strict > keeps the earliest max)
-        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-        seg_best = np.maximum.reduceat(sums, starts)
-        seg_ids = np.repeat(np.arange(len(starts)),
-                            np.diff(np.r_[starts, len(bs)]))
-        is_max = sums == seg_best[seg_ids]
-        first_o = np.minimum.reduceat(
-            np.where(is_max, o_arr, np.int64(1 << 40)), starts)
-        b_of_seg = bs[starts]
-        win = seg_best > floor[b_of_seg]
-        aligned[b_of_seg[win]] = True
-        besto[b_of_seg[win]] = first_o[win]
-        best[b_of_seg[win]] = seg_best[win]
+        _segmented_first_max(bs, o_arr, sums, floor, aligned, besto, best)
         return aligned, besto, best
 
     def _post_primers_and_threshold(self, res):

@@ -70,8 +70,28 @@ def get_lib():
     lib.psq_stream_flags.restype = ctypes.c_int
     lib.psq_stream_flags.argtypes = [ctypes.c_void_p]
     lib.psq_close.argtypes = [ctypes.c_void_p]
+    lib.psq_quality.restype = None
+    lib.psq_quality.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                ctypes.c_long, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def quality(seq: np.ndarray, ptbl: np.ndarray,
+            seq_len: np.ndarray) -> np.ndarray | None:
+    """Exact mean quality via the native single-pass kernel; None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.int32)
+    seq_len32 = np.ascontiguousarray(seq_len, dtype=np.int32)
+    B, L2 = seq.shape
+    out = np.empty(B, dtype=np.float64)
+    lib.psq_quality(seq.ctypes.data, B, L2, ptbl.ctypes.data,
+                    seq_len32.ctypes.data, out.ctypes.data)
+    return out
 
 
 class IdStr(str):

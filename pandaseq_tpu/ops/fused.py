@@ -173,8 +173,13 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         & (pos < flen[:, None])
     w9r = A._window9_nonn(jnp.flip(nonn_r, axis=1), L)
     emit_r = jnp.flip(w9r, axis=1) & (pos + A.KMER_LEN < rlen[:, None])
-    rank = A._occurrence_rank(kf, emit_f, L)
-    stored_f = emit_f & (rank < num_kmers)
+    if num_kmers == 0:
+        # -k 0: empty kmerseen table -> nothing is ever stored, every
+        # probe misses, ALL_BITS_IF_NONE examines every overlap
+        stored_f = jnp.zeros_like(emit_f)
+    else:
+        rank = A._occurrence_rank(kf, emit_f, L)
+        stored_f = emit_f & (rank < num_kmers)
 
     # ---- aligned frames ----
     F_nt = A._right_align(nt16_f, flen, L)
@@ -330,8 +335,9 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     pidx = case * 2209 + fq * 47 + rq
     ascii_nt = jnp.asarray(_NT_ASCII)[rec["nt"].astype(jnp.int32) & 0x0F]
 
-    # two big transfers instead of seven small ones: the tunnel charges
-    # ~ms per dispatch, so everything is packed
+    # ONE output array: the tunnel charges ~60 ms latency per
+    # device->host transfer, so counts, sequence codes, scalars (and the
+    # f32 lutsum, bitcast) are concatenated into a single int32 plane
     seq = (pidx | (ascii_nt.astype(jnp.int32) << 16))  # [B, L2] i32
     scalars = jnp.stack([
         rec["seq_len"].astype(jnp.int32),
@@ -339,10 +345,11 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         rec["overlap_mismatches"].astype(jnp.int32),
         besto32,
     ], axis=1)  # [B, 4]
-    out = dict(packed_counts=packed_counts, seq=seq, scalars=scalars)
-    if lutsum is not None:
-        out["lutsum"] = lutsum
-    return out
+    parts = [packed_counts, seq, scalars,
+             jax.lax.bitcast_convert_type(
+                 jnp.where(jnp.isfinite(scores), scores,
+                           jnp.float32(-3e38)), jnp.int32)]
+    return jnp.concatenate(parts, axis=1)
 
 
 def build_ptable(algo) -> np.ndarray:

@@ -94,9 +94,9 @@ def bench_tpu() -> float:
 
     log("decoder: %s" % ("native C++" if use_native else "python"))
     asm = BatchAssembler(L=512)
-    # warm-up compile across every shape bucket
-    for b in batches():
-        asm.assemble_batch(b)
+    # warm-up compile across every shape bucket (pipelined)
+    for _ in asm.emit_stream(batches(), fmt="fasta", depth=DEPTH):
+        pass
 
     asm = BatchAssembler(L=512)
     t0 = time.perf_counter()
@@ -104,14 +104,12 @@ def bench_tpu() -> float:
     n_out = 0
     sink = bytearray()
     from pandaseq_tpu.io.prefetch import prefetch
-    for _, results in asm.assemble_stream(prefetch(batches(),
-                                                   depth=DEPTH + 2),
-                                          depth=DEPTH):
-        for code, res in results:
-            n_in += 1
-            if code == "OK":
-                sink += out_mod.format_fasta(res)
-                n_out += 1
+    for _, codes, payload in asm.emit_stream(prefetch(batches(),
+                                                      depth=DEPTH + 2),
+                                             depth=DEPTH):
+        sink += payload
+        n_in += len(codes)
+    n_out = asm.counters.ok
     total = time.perf_counter() - t0
     log(f"decode+assemble+format: {n_in} pairs in {total:.2f}s "
         f"({asm.counters.ok} OK)")

@@ -257,12 +257,18 @@ class BatchAssembler:
         self.need_p = need_p
         algo = self.cfg.algorithm
         name = algo.name
-        if name in ("pear", "rdp_mle"):
+        if name in ("pear", "rdp_mle", "ea_util", "flash", "stitch"):
             self._algo_kind = name
-        elif name in ("ea_util", "flash", "stitch"):
-            self._algo_kind = name
-        else:
+        elif name in ("simple_bayesian", "uparse"):
             self._algo_kind = "counts"
+        else:
+            # custom algorithm: device scores are only a warm guess;
+            # exact per-pair selection runs on host
+            self._algo_kind = "counts"
+            self._custom = True
+        if name in ("simple_bayesian", "uparse", "pear", "rdp_mle",
+                    "ea_util", "flash", "stitch"):
+            self._custom = False
         self._pmatch = getattr(algo, "pmatch", 0.0)
         self._pmismatch = getattr(algo, "pmismatch", 0.0)
         if name == "pear":
@@ -278,6 +284,9 @@ class BatchAssembler:
         from .ops import fused as _fused
         self._fused = _fused
         self._ptbl = _fused.build_ptable(algo)
+        from .nt import result_phred
+        # PHRED+33 output byte per pidx (panda_result_phred, nt.c:126-150)
+        self._phtbl = (33 + result_phred(self._ptbl)).astype(np.uint8)
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
@@ -412,7 +421,7 @@ class BatchAssembler:
             pass
         return out
 
-    def _finalize(self, st, dev):
+    def _finalize(self, st, dev, emit: str | None = None):
         cfg = self.cfg
         algo = cfg.algorithm
         batch = st["batch"]
@@ -466,6 +475,25 @@ class BatchAssembler:
                       | (np.abs(f32 - floor[:, None]) <= _EPS)))
             aligned, besto, best = self._exact_select_lut(
                 batch, sus, flen, rlen, floor)
+        elif self._custom:
+            # custom algorithm: exact per-pair scoring over every
+            # candidate offset via its overlap_probability
+            aligned = np.zeros(B, dtype=bool)
+            besto = np.ones(B, dtype=np.int64)
+            best = np.full(B, -np.inf)
+            for b in range(B):
+                if skip[b]:
+                    continue
+                exact = _exact_rescore(algo, batch.pairs[b],
+                                       np.flatnonzero(cand_in[b]) + 1)
+                bb, bo = floor[b], -1
+                for oo in sorted(exact):
+                    if exact[oo] > bb:
+                        bb, bo = exact[oo], oo
+                if bo != -1:
+                    aligned[b] = True
+                    besto[b] = bo
+                    best[b] = bb
         else:
             # device f32 scores prune to a shortlist; only those offsets
             # are re-scored exactly in f64 from the integer counts
@@ -520,6 +548,12 @@ class BatchAssembler:
             quality = (fsum + rsum + osum) / (seq_len + 1).astype(np.float64)
 
         length_bad = (seq_len + 1 <= 0) | (seq_len + 1 > 2 * oracle.MAX_LEN)
+
+        if emit is not None:
+            return self._emit(st, emit, out, fb, badread, prerej,
+                              shortread, nofp, norp, negs, slow_mask,
+                              aligned, length_bad, quality, seq_len,
+                              besto, ascii_all, pidx)
 
         # --- stage 5: verdicts + results ---
         for b in range(B):
@@ -601,6 +635,113 @@ class BatchAssembler:
             self.counters.record_overlap(res.overlap)
             out[b] = ("OK", res)
         return out
+
+    def _emit(self, st, fmt, out, fb, badread, prerej, shortread, nofp,
+              norp, negs, slow_mask, aligned, length_bad, quality,
+              seq_len, besto, ascii_all, pidx):
+        """Fast byte-emission finalization (no modules / post-primers):
+        OK pairs append directly to the output payload without
+        materializing result objects — the hot CLI path."""
+        cfg = self.cfg
+        c = self.counters
+        thr = cfg.threshold
+        fastq = fmt == "fastq"
+        payload = bytearray()
+        B = len(out)
+        qexp = np.exp(quality)
+        sids = st["batch"].sids
+        for b in range(B):
+            if badread[b]:
+                out[b] = ("BADR", None)
+                c.badread += 1
+                continue
+            if prerej[b]:
+                out[b] = ("MODULE", None)
+                continue
+            if shortread[b]:
+                out[b] = ("BADR", None)
+                c.badread += 1
+                continue
+            if nofp[b]:
+                out[b] = ("NOFP", None)
+                c.nofp += 1
+                continue
+            if norp[b]:
+                out[b] = ("NORP", None)
+                c.norp += 1
+                continue
+            if negs[b]:
+                out[b] = ("NOALGN", None)
+                c.noalgn += 1
+                continue
+            if slow_mask[b]:
+                c.slow += 1
+            if b in fb:
+                res = fb[b]
+                if res is None or res.sequence_length + 1 > \
+                        2 * oracle.MAX_LEN:
+                    out[b] = ("NOALGN", None)
+                    c.noalgn += 1
+                    continue
+                res.sid = sids[b]
+                if res.quality < thr:
+                    c.lowq += 1
+                    out[b] = ("LOWQ", res)
+                    continue
+                c.ok += 1
+                c.record_overlap(res.overlap)
+                from .io import output as out_mod
+                payload += (out_mod.format_fastq(res) if fastq
+                            else out_mod.format_fasta(res))
+                out[b] = ("OK", None)
+                continue
+            if not aligned[b] or length_bad[b]:
+                out[b] = ("NOALGN", None)
+                c.noalgn += 1
+                continue
+            q = quality[b]
+            if q < thr:
+                c.lowq += 1
+                r = OracleResult()
+                r.quality = float(q)
+                r.sid = sids[b]
+                out[b] = ("LOWQ", r)
+                continue
+            c.ok += 1
+            c.record_overlap(int(besto[b]))
+            n = int(seq_len[b])
+            out[b] = ("OK", None)
+            if n == 0:
+                continue  # no output, still counted (output.c:89-91)
+            head = b"%c%s;%f\n" % (64 if fastq else 62, str(sids[b])
+                                   .encode(), qexp[b])
+            payload += head
+            payload += ascii_all[b, :n].tobytes()
+            if fastq:
+                payload += b"\n+\n"
+                payload += self._phtbl[pidx[b, :n]].tobytes()
+            payload += b"\n"
+        return out, bytes(payload)
+
+    def emit_stream(self, pair_batches, fmt: str = "fasta",
+                    depth: int = 4):
+        """Pipelined fast path yielding (pairs, codes, payload_bytes) per
+        batch. Requires no filter modules and pre-assembly primers."""
+        assert not self.modules and not self.cfg.post_primers
+        from collections import deque
+        q = deque()
+        for pairs in pair_batches:
+            stt = self._pre(pairs)
+            dev = self._dispatch(stt)
+            q.append((stt, dev))
+            if len(q) > depth:
+                st0, dev0 = q.popleft()
+                codes, payload = self._finalize(st0, dev0, emit=fmt)
+                yield st0["pairs"], codes, payload
+        while q:
+            st0, dev0 = q.popleft()
+            codes, payload = self._finalize(st0, dev0, emit=fmt)
+            yield st0["pairs"], codes, payload
 
     def _exact_select_lut(self, batch, sus, flen, rlen, floor):
         """Vectorized exact f64 re-scoring of the shortlisted (pair,

@@ -99,9 +99,9 @@ def show_help(logger, prog="pandaseq"):
         "FASTA (or FASTQ) file.",
     ]:
         _err(line)
+    from .. import algorithms
     _err("Available algorithms:")
-    for name in ("ea_util", "flash", "pear", "rdp_mle", "simple_bayesian",
-                 "stitch", "uparse"):
+    for name in algorithms.list_algorithms():
         _err("\t%s" % name)
     _err("Available modules:")
     filters.show_all(logger)
@@ -175,9 +175,10 @@ def parse_args(argv, prog="pandaseq"):
         elif f == "a":
             c.cfg.post_primers = True
         elif f == "A":
+            from .. import algorithms
             name, _, algo_arg = arg.partition(":")
             try:
-                c.cfg.algorithm = oracle.make_algorithm(
+                c.cfg.algorithm = algorithms.make_algorithm(
                     name, algo_arg or None)
             except (KeyError, ValueError) as e:
                 _err("Unknown algorithm: %s" % name
@@ -419,27 +420,44 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
 
     from ..io.prefetch import prefetch
     done = 0
-    for pairs, results in asm.assemble_stream(prefetch(batches())):
-        for pair, (code, res) in zip(pairs, results):
-            done += 1
-            count = done
-            if code == "OK":
-                out_stream.write(fmt(res))
-                some_seqs = True
-            else:
-                if code == "LOWQ":
-                    logger.write("LOWQ", sid=res.sid if res else pair.sid,
-                                 message="%f < %f"
-                                 % (math.exp(res.quality),
-                                    math.exp(c.cfg.threshold)),
-                                 flag=stats.DEBUG_STAT)
-                elif code in ("NOFP", "NORP"):
-                    logger.write(code, sid=pair.sid,
-                                 flag=stats.DEBUG_STAT)
-                if fail_stream is not None and code == "NOALGN":
-                    fail_stream.write(fail_fmt(pair))
-            if count % 1000 == 0:
-                reporter.print_time(count)
+
+    def handle_reject(pair, code, res):
+        if code == "LOWQ":
+            logger.write("LOWQ", sid=res.sid if res else pair.sid,
+                         message="%f < %f"
+                         % (math.exp(res.quality),
+                            math.exp(c.cfg.threshold)),
+                         flag=stats.DEBUG_STAT)
+        elif code in ("NOFP", "NORP"):
+            logger.write(code, sid=pair.sid, flag=stats.DEBUG_STAT)
+        if fail_stream is not None and code == "NOALGN":
+            fail_stream.write(fail_fmt(pair))
+
+    use_emit = not c.modules and not c.cfg.post_primers
+    if use_emit:
+        emit_fmt = "fastq" if c.fastq_out else "fasta"
+        for pairs, codes, payload in asm.emit_stream(
+                prefetch(batches()), fmt=emit_fmt):
+            out_stream.write(payload)
+            for pair, (code, res) in zip(pairs, codes):
+                done += 1
+                if code == "OK":
+                    some_seqs = True
+                else:
+                    handle_reject(pair, code, res)
+                if done % 1000 == 0:
+                    reporter.print_time(done)
+    else:
+        for pairs, results in asm.assemble_stream(prefetch(batches())):
+            for pair, (code, res) in zip(pairs, results):
+                done += 1
+                if code == "OK":
+                    out_stream.write(fmt(res))
+                    some_seqs = True
+                else:
+                    handle_reject(pair, code, res)
+                if done % 1000 == 0:
+                    reporter.print_time(done)
 
     if reader.seen_under_64 is False and reader.non_empty \
             and c.qualmin == 33:

@@ -364,8 +364,16 @@ def build_ptable(algo) -> np.ndarray:
     tbl = np.zeros(8 * 2209, dtype=np.float64)
     qs = tables.QUAL_SCORE
     nn = float(tables.QUAL_NN_SIMPLE_BAYESIAN)
-    mp_match = _match_probability_vec(algo, np.ones(2209, bool), fqf, rqf)
-    mp_mis = _match_probability_vec(algo, np.zeros(2209, bool), fqf, rqf)
+    try:
+        mp_match = _match_probability_vec(algo, np.ones(2209, bool),
+                                          fqf, rqf)
+        mp_mis = _match_probability_vec(algo, np.zeros(2209, bool),
+                                        fqf, rqf)
+    except ValueError:  # custom algorithm: scalar match_probability
+        mp_match = np.array([algo.match_probability(True, a, b)
+                             for a, b in zip(fqf, rqf)])
+        mp_mis = np.array([algo.match_probability(False, a, b)
+                           for a, b in zip(fqf, rqf)])
     for case in range(8):
         base = case * 2209
         if case == 1 or case == 7:

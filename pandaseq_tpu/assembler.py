@@ -650,6 +650,8 @@ class BatchAssembler:
         B = len(out)
         qexp = np.exp(quality)
         sids = st["batch"].sids
+        scored = np.zeros(B, dtype=bool)  # align() succeeded (BESTOLP)
+        overlaps = np.asarray(besto, dtype=np.int64).copy()
         for b in range(B):
             if badread[b]:
                 out[b] = ("BADR", None)
@@ -684,6 +686,8 @@ class BatchAssembler:
                     c.noalgn += 1
                     continue
                 res.sid = sids[b]
+                scored[b] = True
+                overlaps[b] = res.overlap
                 if res.quality < thr:
                     c.lowq += 1
                     out[b] = ("LOWQ", res)
@@ -699,6 +703,7 @@ class BatchAssembler:
                 out[b] = ("NOALGN", None)
                 c.noalgn += 1
                 continue
+            scored[b] = True
             q = quality[b]
             if q < thr:
                 c.lowq += 1
@@ -721,27 +726,31 @@ class BatchAssembler:
                 payload += b"\n+\n"
                 payload += self._phtbl[pidx[b, :n]].tobytes()
             payload += b"\n"
-        return out, bytes(payload)
+        return out, bytes(payload), dict(scored=scored, overlap=overlaps)
 
     def emit_stream(self, pair_batches, fmt: str = "fasta",
-                    depth: int = 4):
-        """Pipelined fast path yielding (pairs, codes, payload_bytes) per
-        batch. Requires no filter modules and pre-assembly primers."""
+                    depth: int = 4, with_extras: bool = False):
+        """Pipelined fast path yielding (pairs, codes, payload_bytes[,
+        extras]) per batch. Requires no filter modules and pre-assembly
+        primers."""
         assert not self.modules and not self.cfg.post_primers
         from collections import deque
+
+        def fin(st0, dev0):
+            codes, payload, extras = self._finalize(st0, dev0, emit=fmt)
+            if with_extras:
+                return st0["pairs"], codes, payload, extras
+            return st0["pairs"], codes, payload
+
         q = deque()
         for pairs in pair_batches:
             stt = self._pre(pairs)
             dev = self._dispatch(stt)
             q.append((stt, dev))
             if len(q) > depth:
-                st0, dev0 = q.popleft()
-                codes, payload = self._finalize(st0, dev0, emit=fmt)
-                yield st0["pairs"], codes, payload
+                yield fin(*q.popleft())
         while q:
-            st0, dev0 = q.popleft()
-            codes, payload = self._finalize(st0, dev0, emit=fmt)
-            yield st0["pairs"], codes, payload
+            yield fin(*q.popleft())
 
     def _exact_select_lut(self, batch, sus, flen, rlen, floor):
         """Vectorized exact f64 re-scoring of the shortlisted (pair,

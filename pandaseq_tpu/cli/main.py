@@ -433,14 +433,20 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
         if fail_stream is not None and code == "NOALGN":
             fail_stream.write(fail_fmt(pair))
 
+    log_bestolp = bool(c.debug_flags & stats.DEBUG_BUILD)
     use_emit = not c.modules and not c.cfg.post_primers
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
-        for pairs, codes, payload in asm.emit_stream(
-                prefetch(batches()), fmt=emit_fmt):
+        for pairs, codes, payload, extras in asm.emit_stream(
+                prefetch(batches()), fmt=emit_fmt, with_extras=True):
             out_stream.write(payload)
-            for pair, (code, res) in zip(pairs, codes):
+            overlaps = extras["overlap"]
+            scored = extras["scored"]
+            for i, (pair, (code, res)) in enumerate(zip(pairs, codes)):
                 done += 1
+                if log_bestolp and scored[i]:
+                    logger.write("BESTOLP", sid=pair.sid,
+                                 message=str(int(overlaps[i])))
                 if code == "OK":
                     some_seqs = True
                 else:
@@ -451,6 +457,10 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
         for pairs, results in asm.assemble_stream(prefetch(batches())):
             for pair, (code, res) in zip(pairs, results):
                 done += 1
+                if log_bestolp and res is not None and \
+                        getattr(res, "overlap", 0):
+                    logger.write("BESTOLP", sid=pair.sid,
+                                 message=str(res.overlap))
                 if code == "OK":
                     out_stream.write(fmt(res))
                     some_seqs = True

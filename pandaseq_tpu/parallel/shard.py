@@ -171,6 +171,25 @@ def make_sharded_step(mesh: Mesh, L: int, minoverlap: int = 2):
     return step
 
 
+def shard_fused_batch(mesh: Mesh, asm, batch):
+    """Run the PRODUCTION fused step with the read-pair batch sharded
+    over the mesh's dp axis — XLA partitions the whole graph (every op
+    is batch-parallel) and each chip scores its shard; the host
+    finalization then proceeds exactly as single-chip.
+
+    `asm` is a BatchAssembler; `batch` an assembler.Batch whose B is
+    divisible by the dp size. Returns (st, dev) ready for
+    asm._finalize.
+    """
+    spec = NamedSharding(mesh, P("dp"))
+    st = asm._pre(batch)
+    b = st["batch"]
+    for name in ("fwd_nt", "fwd_q", "rev_nt", "rev_q", "flen", "rlen"):
+        setattr(b, name, jax.device_put(getattr(b, name), spec))
+    dev = asm._dispatch(st)
+    return st, dev
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Place host numpy arrays on the mesh with batch-dim sharding."""
     out = []

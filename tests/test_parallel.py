@@ -65,3 +65,34 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert int(out["counters"]["reads"]) == args[0].shape[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_production_fused_sharded_over_dp():
+    """The real fused pipeline, batch-sharded over 8 devices, must give
+    byte-identical results to the single-device run."""
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import output as out_mod
+    from pandaseq_tpu.parallel import shard
+    from tests.test_oracle_golden import F1, F2, _ensure_ref
+
+    _ensure_ref()
+    pairs = []
+    reader = fq.read_pairs(F1, F2, policy="PRESENT")
+    for _ in range(64):
+        pairs.append(next(reader))
+
+    asm1 = BatchAssembler(L=512)
+    single = asm1.assemble_batch(pairs)
+    ref_bytes = b"".join(out_mod.format_fasta(r)
+                         for c, r in single if c == "OK")
+
+    from pandaseq_tpu.assembler import make_batch
+    mesh = shard.make_mesh(8, op=1)
+    asm2 = BatchAssembler(L=512)
+    st, dev = shard.shard_fused_batch(mesh, asm2, make_batch(pairs, 512))
+    sharded = asm2._finalize(st, dev)
+    got_bytes = b"".join(out_mod.format_fasta(r)
+                         for c, r in sharded if c == "OK")
+    assert got_bytes == ref_bytes

@@ -314,21 +314,29 @@ def _open_pear_test(args, logger):
     if not parse_key_values(args, processor):
         raise ModuleError("pear_test")
     alpha, beta, cutoff = 1.0, -1.0, 0.01
+    ln25, ln75 = math.log(0.25), math.log(0.75)
+    binom_sum = {}  # (i, l_i) -> sum, computed once with the exact loop
+
+    def _sum(i, l_i):
+        key = (i, l_i)
+        v = binom_sum.get(key)
+        if v is None:
+            v = 0.0
+            for k in range(max(l_i, 0)):
+                i_choose_k = (math.lgamma(i + 1) - math.lgamma(k + 1)
+                              - math.lgamma(i - k + 1))
+                v += math.exp(i_choose_k + k * ln25 + (i - k) * ln75)
+            binom_sum[key] = v
+        return v
 
     def check(res):
         product = 1.0
         oes = (alpha * (res.overlap - res.overlap_mismatches)
                + beta * res.overlap_mismatches)
-        ln25, ln75 = math.log(0.25), math.log(0.75)
         i = res.overlap
         while i < res.forward_length and i < res.reverse_length:
             l_i = int(math.ceil((oes - beta * i) / (alpha - beta))) - 1
-            total = 0.0
-            for k in range(max(l_i, 0)):
-                i_choose_k = (math.lgamma(i + 1) - math.lgamma(k + 1)
-                              - math.lgamma(i - k + 1))
-                total += math.exp(i_choose_k + k * ln25 + (i - k) * ln75)
-            product *= total
+            product *= _sum(i, l_i)
             i += 1
         return cutoff > 1 - product * product
 

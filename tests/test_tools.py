@@ -142,3 +142,37 @@ def test_native_batch_through_assembler():
     pairs = list(fq.read_pairs(F1, F2, policy="PRESENT"))
     got_python = collect([pairs[i:i + 64] for i in range(0, len(pairs), 64)])
     assert got_native == got_python
+
+
+def test_native_decoder_header_dialects(tmp_path):
+    """The C++ seqid parser must accept the same 4 dialects as Python."""
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import native
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+    cases = [
+        ("M01271:10:000000000-A3WGH:1:1101:18786:6175 1:N:0:ACGT",
+         "M01271:10:000000000-A3WGH:1:1101:18786:6175 2:N:0:ACGT"),
+        ("1468:1:1:12675:1118#ATCACGA/1", "1468:1:1:12675:1118#ATCACGA/2"),
+        ("MISEQ03:18:000000000-A1REG:1:1101:14774:1712#GATAGTGCCAC/1",
+         "MISEQ03:18:000000000-A1REG:1:1101:14774:1712#GATAGTGCCAC/2"),
+        ("SRR014849.1 EIXKN4201CFU84.1 length=93",
+         "SRR014849.1 EIXKN4201CFU84.1 length=93"),
+    ]
+    f1 = tmp_path / "d1.fastq"
+    f2 = tmp_path / "d2.fastq"
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for h1, h2 in cases:
+            a.write("@%s\nACGTACGTAC\n+\nIIIIIIIIII\n" % h1)
+            b.write("@%s\nACGTACGTAC\n+\nIIIIIIIIII\n" % h2)
+    n_native = sum(len(bb.sids) for bb in native.NativeBatchReader(
+        str(f1), str(f2), policy="OPTIONAL", batch=16))
+    n_py = 0
+    reader = fq.read_pairs(str(f1), str(f2), policy="OPTIONAL")
+    while True:
+        try:
+            next(reader)
+            n_py += 1
+        except (StopIteration, fq.StreamError):
+            break
+    assert n_native == n_py == len(cases)

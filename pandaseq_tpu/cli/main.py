@@ -117,7 +117,7 @@ def _parse_primer(argument: str, direction: str, complement: bool):
         is_num = False
     if not is_num:
         conv = nt_from_ascii_complement if complement else nt_from_ascii
-        codes = conv(argument.encode())
+        codes = conv(np.frombuffer(argument.encode(), dtype=np.uint8))
         if np.any(codes == 0):
             _err("ERR\tBADNT\t%cPRIMER" % direction[0].upper())
             raise ArgsError("primer")

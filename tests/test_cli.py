@@ -128,3 +128,60 @@ def test_cli_bz2_input(tmp_path):
     ref = run_ref(BASE)
     got = run_cli(["-f", str(b1), "-r", str(b2)])
     assert got.stdout == ref.stdout
+
+
+@pytest.mark.parametrize("extra", [
+    ["-o", "30", "-O", "200"],
+    ["-t", "0.95"],
+    ["-A", "uparse:0.25"],
+    ["-A", "ea_util"],
+    ["-k", "4"],
+    ["-k", "0"],
+])
+def test_cli_more_flag_combos(extra):
+    ref = run_ref(BASE + extra)
+    got = run_cli(BASE + extra)
+    assert got.stdout == ref.stdout, _diff_head(ref.stdout, got.stdout)
+
+
+def test_cli_primers_and_penalty():
+    from tests.test_oracle_primers import (FWD_PRIMER, REV_PRIMER, P1, P2,
+                                           _ensure_primer_data)
+    _ensure_primer_data()
+    base = ["-f", P1, "-r", P2]
+    for extra in (["-p", FWD_PRIMER, "-q", REV_PRIMER],
+                  ["-p", FWD_PRIMER, "-q", REV_PRIMER, "-D", "0.1"],
+                  ["-a", "-p", FWD_PRIMER, "-q", REV_PRIMER],
+                  ["-p", "5", "-q", "7"]):
+        ref = run_ref(base + extra)
+        got = run_cli(base + extra)
+        assert got.stdout == ref.stdout, extra
+
+
+def test_cli_module_reject_stat_line():
+    import re
+    got = run_cli(BASE + ["-C", "min_phred:25"])
+    ref = run_ref(BASE + ["-C", "min_phred:25"])
+    g = re.search(r"STAT\tmin_phred\t(\d+)", got.stderr.decode())
+    r = re.search(r"STAT\tmin_phred\t(\d+)", ref.stderr.decode())
+    assert g and r and g.group(1) == r.group(1)
+    assert got.stdout == ref.stdout
+
+
+def test_hang_skip_and_threshold():
+    import os
+    from tests.test_oracle_primers import P1, P2, _ensure_primer_data
+    _ensure_primer_data()
+    ROOT2 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for extra in (["-s"], ["-t", "0.8"]):
+        args = ["-T", "1", "-f", P1, "-r", P2,
+                "-P", "GGACTACHVGGGTWTCTAAT",
+                "-Q", "GTGCCAGCMGCCGCGGTAA", *extra]
+        ref = subprocess.run([os.path.join(ROOT2, "tests", "ref_build",
+                                           "pandaseq-hang-ref"), *args],
+                             capture_output=True)
+        got = subprocess.run([sys.executable, "-m",
+                              "pandaseq_tpu.cli.hang", *args],
+                             capture_output=True, env=ENV, cwd=ROOT2,
+                             timeout=400)
+        assert got.stdout == ref.stdout, extra

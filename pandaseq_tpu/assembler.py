@@ -767,27 +767,28 @@ class BatchAssembler:
             return aligned, besto, best
         o_arr = (os0 + 1).astype(np.int64)
         L = self.L
-        I = np.arange(L, dtype=np.int64)[None, :]
+        W = min(int(o_arr.max(initial=1)), L)  # i < o <= W suffices
+        I = np.arange(W, dtype=np.int64)[None, :]
         fi = flen[bs, None] - o_arr[:, None] + I
         ri = rlen[bs, None] - 1 - I
         inb = ((I < o_arr[:, None]) & (fi >= 0) & (fi < flen[bs, None])
                & (ri >= 0) & (ri < rlen[bs, None]))
-        fic = np.clip(fi, 0, L - 1)
-        ric = np.clip(ri, 0, L - 1)
+        fic = fi % L  # decoder guarantees quals in 0..46; mod is cheaper
+        ric = ri % L
         fnt = (batch.fwd_nt[bs[:, None], fic].astype(np.int32) & 0x0F)
         rnt = (batch.rev_nt[bs[:, None], ric].astype(np.int32) & 0x0F)
         isn = (fnt == 0x0F) | (rnt == 0x0F)
         match = (fnt & rnt) != 0
         if algo.name == "pear":
             # quality quirk: BOTH indices read the fwd buffer
-            qa = np.clip(batch.fwd_q[bs[:, None], fic], 0, 46)
-            qb = np.clip(batch.fwd_q[bs[:, None], ric], 0, 46)
+            qa = batch.fwd_q[bs[:, None], fic]
+            qb = batch.fwd_q[bs[:, None], ric]
             v = np.where(isn, -algo.random_base,
                          np.where(match, QUAL_MATCH_PEAR[qa, qb],
                                   QUAL_MISMATCH_PEAR[qa, qb]))
         else:  # rdp_mle: per-element (LUT - nn) like the C loop
-            qa = np.clip(batch.fwd_q[bs[:, None], fic], 0, 46)
-            qb = np.clip(batch.rev_q[bs[:, None], ric], 0, 46)
+            qa = batch.fwd_q[bs[:, None], fic]
+            qb = batch.rev_q[bs[:, None], ric]
             v = np.where(match,
                          QUAL_MATCH_SIMPLE_BAYESIAN[qa, qb] - _NN,
                          QUAL_MISMATCH_RDP_MLE[qa, qb] - _NN)

@@ -62,6 +62,8 @@ def _skew_diag_reduce(X, O, op="sum"):
     S = flat.reshape(B, O, W2)
     if op == "sum":
         return jnp.sum(S, axis=1, dtype=jnp.int32)[:, :O]
+    if op == "fsum":
+        return jnp.sum(S, axis=1, dtype=jnp.float32)[:, :O]
     return jnp.max(S, axis=1)[:, :O]
 
 
@@ -206,7 +208,39 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     default_impl = "skew" if jax.default_backend() == "tpu" else "gather"
     counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", default_impl)
     cand = None
-    if algo_kind in ("pear", "rdp_mle"):
+    lutsum = None
+    if algo_kind in ("pear", "rdp_mle") and counts_impl == "skew":
+        # LUT sums over every overlap as diagonal reductions of an
+        # elementwise contribution plane (same frame as _counts_skew);
+        # f32 sums are pruning-only, so reduction order is free
+        m, unk, cand = _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen,
+                                    L, O)
+        mm = nvalid - m - unk
+        f = jnp.flip(F_nt, axis=1)[:, :O, None]
+        r = R_nt[:, None, :O]
+        # LUT planes via one-hot matmuls on the MXU (a [B,O,O] gather
+        # from the 47x47 tables is pathologically slow on TPU):
+        #   mv[b,j,i] = Tm[qf_j, q2_i] = (onehot(qf) @ Tm) @ onehot(q2)^T
+        qf = jnp.flip(F_q, axis=1)[:, :O]
+        q2v = (FP_q if algo_kind == "pear" else R_q)[:, :O]
+        OHf = jax.nn.one_hot(qf, 47, dtype=jnp.float32)  # [B, O, 47]
+        OH2 = jax.nn.one_hot(q2v, 47, dtype=jnp.float32)
+        Tm = jnp.asarray(lut_match, dtype=jnp.float32)
+        Tmm = jnp.asarray(lut_mismatch, dtype=jnp.float32)
+        mv = jnp.einsum("bjc,cd,bid->bji", OHf, Tm, OH2,
+                        preferred_element_type=jnp.float32)
+        mmv = jnp.einsum("bjc,cd,bid->bji", OHf, Tmm, OH2,
+                         preferred_element_type=jnp.float32)
+        pad = (f == 0) | (r == 0)
+        if algo_kind == "pear":
+            n_mask = (f == 0x0F) | (r == 0x0F)
+            contrib = jnp.where(n_mask, jnp.float32(nn_term),
+                                jnp.where((f & r) != 0, mv, mmv))
+        else:
+            contrib = jnp.where((f & r) != 0, mv, mmv)
+        contrib = jnp.where(pad, jnp.float32(0), contrib)
+        lutsum = _skew_diag_reduce(contrib, O, op="fsum")
+    elif algo_kind in ("pear", "rdp_mle"):
         # LUT scoring needs per-position quality pairing: keep the
         # shifted-gather frame for these two algorithms
         FS_nt = gather(F_nt)
@@ -271,21 +305,24 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     cand_in = jnp.where(none_found[:, None], in_range, cand_in)
 
     if algo_kind in ("pear", "rdp_mle"):
-        FS_q = gather(F_q)
-        m_flat = jnp.asarray(lut_match, dtype=jnp.float32).reshape(-1)
-        mm_flat = jnp.asarray(lut_mismatch, dtype=jnp.float32).reshape(-1)
-        q2 = FP_q[:, None, :O] if algo_kind == "pear" else R_q[:, None, :O]
-        lut_idx = FS_q * 47 + q2
-        mv = jnp.take(m_flat, lut_idx)
-        mmv = jnp.take(mm_flat, lut_idx)
-        if algo_kind == "pear":
-            contrib = jnp.where(n_mask, jnp.float32(nn_term),
-                                jnp.where(raw_match, mv, mmv))
-        else:
-            contrib = jnp.where(raw_match, mv, mmv)
-        scores = jnp.sum(jnp.where(valid, contrib, 0.0), axis=2,
-                         dtype=jnp.float32)
-        lutsum = scores
+        if lutsum is None:  # gather fallback (non-skew impls)
+            FS_q = gather(F_q)
+            m_flat = jnp.asarray(lut_match, dtype=jnp.float32).reshape(-1)
+            mm_flat = jnp.asarray(lut_mismatch,
+                                  dtype=jnp.float32).reshape(-1)
+            q2 = FP_q[:, None, :O] if algo_kind == "pear" \
+                else R_q[:, None, :O]
+            lut_idx = FS_q * 47 + q2
+            mv = jnp.take(m_flat, lut_idx)
+            mmv = jnp.take(mm_flat, lut_idx)
+            if algo_kind == "pear":
+                contrib = jnp.where(n_mask, jnp.float32(nn_term),
+                                    jnp.where(raw_match, mv, mmv))
+            else:
+                contrib = jnp.where(raw_match, mv, mmv)
+            lutsum = jnp.sum(jnp.where(valid, contrib, 0.0), axis=2,
+                             dtype=jnp.float32)
+        scores = lutsum
     elif algo_kind in ("ea_util", "flash", "stitch"):
         mmf = mm.astype(jnp.float32)
         unkf = unk.astype(jnp.float32)

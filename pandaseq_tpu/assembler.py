@@ -195,16 +195,17 @@ def _compute_offsets_vec(threshold, penalty, reverse, nt, probs, notprobs,
     else:
         nt_s, p_s, np_s = nt, probs, notprobs
     # A[b, s] = alignment score for start s, accumulated in ascending x —
-    # the same order the C circular buffer receives contributions.
+    # the same order the C circular buffer receives contributions (the
+    # slice-add keeps each A[s]'s f64 accumulation order identical to
+    # the rolled version while avoiding three array copies per x).
     A = np.zeros((B, S), dtype=np.float64)
     for x in range(plen):
         px = int(primer[x])
         if px == 0x0F:
             continue  # N primer bases contribute nothing (offset.c:80)
-        sh_nt = np.roll(nt_s, -x, axis=1)
-        sh_p = np.roll(p_s, -x, axis=1)
-        sh_np = np.roll(np_s, -x, axis=1)
-        A += np.where((sh_nt & px) != 0, sh_p, sh_np)
+        W = S - x
+        A[:, :W] += np.where((nt_s[:, x:] & px) != 0, p_s[:, x:],
+                             np_s[:, x:])
     # value at check index i
     checkvals = np.full((B, S), -np.inf)
     i_head = pos.astype(np.float64)

@@ -730,10 +730,16 @@ class BatchAssembler:
         return out, bytes(payload), dict(scored=scored, overlap=overlaps)
 
     def emit_stream(self, pair_batches, fmt: str = "fasta",
-                    depth: int = 4, with_extras: bool = False):
+                    depth: int = 4, with_extras: bool = False,
+                    threaded: bool = False):
         """Pipelined fast path yielding (pairs, codes, payload_bytes[,
         extras]) per batch. Requires no filter modules and pre-assembly
-        primers."""
+        primers.
+
+        With ``threaded`` the host finalization runs on one worker
+        thread (FIFO, so counter updates and batch order stay
+        sequential) overlapping the next batch's dispatch/transfer —
+        the pool.c worker/reader overlap, host-side."""
         assert not self.modules and not self.cfg.post_primers
         from collections import deque
 
@@ -744,6 +750,26 @@ class BatchAssembler:
             return st0["pairs"], codes, payload
 
         q = deque()
+        if threaded:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(1)
+            futs = deque()
+            try:
+                for pairs in pair_batches:
+                    stt = self._pre(pairs)
+                    dev = self._dispatch(stt)
+                    q.append((stt, dev))
+                    if len(q) > depth:
+                        futs.append(ex.submit(fin, *q.popleft()))
+                    while len(futs) > 2:
+                        yield futs.popleft().result()
+                while q:
+                    futs.append(ex.submit(fin, *q.popleft()))
+                while futs:
+                    yield futs.popleft().result()
+            finally:
+                ex.shutdown(wait=False)
+            return
         for pairs in pair_batches:
             stt = self._pre(pairs)
             dev = self._dispatch(stt)

@@ -434,7 +434,22 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
             fail_stream.write(fail_fmt(pair))
 
     log_bestolp = bool(c.debug_flags & stats.DEBUG_BUILD)
-    use_emit = not c.modules and not c.cfg.post_primers
+    # detailed per-base tracing (-d K/R/M) replays each pair through the
+    # exact oracle purely for its log stream (the reference's
+    # LOG/LOGV call sites, assembler.c:93-242)
+    detail_bits = c.debug_flags & (stats.DEBUG_KMER | stats.DEBUG_RECON
+                                   | stats.DEBUG_MISMATCH)
+    debug_replay = None
+    if detail_bits:
+        from .. import oracle as _oracle
+
+        def debug_replay(pair):
+            def dbg(bit, code, msg):
+                logger.write(code, sid=pair.sid, message=msg, flag=bit)
+            _oracle.assemble(c.cfg, pair, dbg=dbg)
+
+    use_emit = (not c.modules and not c.cfg.post_primers
+                and debug_replay is None)
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
         for pairs, codes, payload, extras in asm.emit_stream(
@@ -457,7 +472,9 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
         for pairs, results in asm.assemble_stream(prefetch(batches())):
             for pair, (code, res) in zip(pairs, results):
                 done += 1
-                if log_bestolp and res is not None and \
+                if debug_replay is not None:
+                    debug_replay(pair)
+                elif log_bestolp and res is not None and \
                         getattr(res, "overlap", 0):
                     logger.write("BESTOLP", sid=pair.sid,
                                  message=str(res.overlap))

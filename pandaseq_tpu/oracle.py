@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import tables
-from .nt import is_degenerate, is_n
+from .nt import NT_TO_ASCII, is_degenerate, is_n
 from .tables import (QUAL_MATCH_PEAR, QUAL_MATCH_SIMPLE_BAYESIAN,
                      QUAL_MATCH_UPARSE, QUAL_MISMATCH_ASSEMBLED_RDP_MLE,
                      QUAL_MISMATCH_PEAR, QUAL_MISMATCH_RDP_MLE,
@@ -327,7 +327,7 @@ def kmer_emissions(nt: np.ndarray, length: int, reverse: bool):
 
 
 def candidate_mask(fwd_nt, flen, rev_nt, rlen, minoverlap, maxoverlap,
-                   num_kmers=2):
+                   num_kmers=2, dbg=None):
     """Build the candidate-overlap bit list (assembler.c:84-118). Returns a
     bool array indexed by counter = overlap - minoverlap."""
     bits_size = (maxoverlap - minoverlap + 1) if minoverlap <= maxoverlap \
@@ -335,11 +335,16 @@ def candidate_mask(fwd_nt, flen, rev_nt, rlen, minoverlap, maxoverlap,
     bits = np.zeros(bits_size, dtype=bool)
     seen: dict[int, list[int]] = {}
     for kmer, p in kmer_emissions(fwd_nt, flen, reverse=False):
+        if dbg is not None:  # assembler.c:93
+            dbg(8, "FMER", "%d@%d" % (kmer, p))
         slots = seen.setdefault(kmer, [])
         if len(slots) < num_kmers:
             slots.append(p)
-        # else: LOST_KMER (assembler.c:97)
+        elif dbg is not None:  # assembler.c:97
+            dbg(1, "LOST_KMER", "%d@%d" % (kmer, p))
     for kmer, p in kmer_emissions(rev_nt, rlen, reverse=True):
+        if dbg is not None:  # assembler.c:105
+            dbg(8, "RMER", "%d@%d" % (kmer, p))
         for fp in seen.get(kmer, ()):
             index = flen + rlen - p - fp - minoverlap - 1
             if 0 <= index < bits_size:
@@ -389,8 +394,13 @@ class OracleConfig:
 
 
 def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
-          forward_offset: int, reverse_offset: int):
-    """align() from assembler.c:48-250. Returns (OracleResult|None, code)."""
+          forward_offset: int, reverse_offset: int, dbg=None):
+    """align() from assembler.c:48-250. Returns (OracleResult|None, code).
+
+    ``dbg(flag_bit, code, message)`` receives the reference's per-stage
+    debug lines (assembler.c LOG/LOGV call sites) when given; the hot
+    batched path never passes it (debug mode routes through this exact
+    per-pair implementation)."""
     algo = cfg.algorithm
     qual_nn = algo.prob_unpaired
     fo, ro = forward_offset, reverse_offset
@@ -407,7 +417,7 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         maxoverlap = cfg.maxoverlap
 
     bits = candidate_mask(fwd_nt, flen, rev_nt, rlen, cfg.minoverlap,
-                          maxoverlap, cfg.num_kmers)
+                          maxoverlap, cfg.num_kmers, dbg=dbg)
 
     res = OracleResult()
     res.overlaps_examined = 0
@@ -415,12 +425,17 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         overlap = int(counter) + cfg.minoverlap
         probability = algo.overlap_probability(
             fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen, overlap)
+        if dbg is not None:  # assembler.c:127
+            dbg(16, "OLD", "overlap = %d probability = %f"
+                % (overlap, probability))
         if probability > bestprobability and overlap >= cfg.minoverlap:
             bestprobability = probability
             bestoverlap = overlap
         res.overlaps_examined += 1
 
     res.slow = res.overlaps_examined == maxoverlap - cfg.minoverlap + 1
+    if dbg is not None:  # assembler.c:139
+        dbg(1, "BESTOLP", "%d" % bestoverlap)
 
     if bestoverlap == -1:
         return res, "NOALGN"
@@ -439,6 +454,9 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
     wedge_df = min(df, 0)
     wedge_dr = min(dr, 0)
 
+    if dbg is not None:  # assembler.c:161
+        dbg(16, "RECR", "bestoverlap = %d, dforward = %d, dreverse = %d, "
+            "len = %d" % (bestoverlap, df, dr, length))
     seq_nt = np.zeros(2 * MAX_LEN, dtype=np.int8)
     seq_p = np.zeros(2 * MAX_LEN, dtype=np.float64)
     fquality = 0.0
@@ -455,6 +473,9 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         if is_degenerate(fbits):
             res.degenerates += 1
         fquality += q
+        if dbg is not None:  # assembler.c:172
+            dbg(16, "BUILD", "S[%d] = F[%d] = %c"
+                % (i, findex, NT_TO_ASCII[fbits]))
 
     # B-cliff masking (assembler.c:176-177)
     uf = flen
@@ -479,6 +500,9 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         fpr = qual_nn if findex >= uf else QUAL_SCORE[_clamp(fwd_q[findex])]
         rpr = qual_nn if rindex >= ur else QUAL_SCORE[_clamp(rev_q[rindex])]
         if not ismatch:
+            if dbg is not None:  # assembler.c:198
+                dbg(32, "MISM", "(F[%d] = %c) != (R[%d] = %c)"
+                    % (findex, NT_TO_ASCII[f], rindex, NT_TO_ASCII[r]))
             res.overlap_mismatches += 1
         if findex >= uf and rindex >= ur:
             q = qual_nn
@@ -498,6 +522,10 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         if is_degenerate(nt):
             res.degenerates += 1
         oquality += q
+        if dbg is not None:  # assembler.c:227
+            dbg(16, "BUILD", "S[%d] = %c, F[%d] = %c, R[%d] = %c"
+                % (index, NT_TO_ASCII[nt], findex, NT_TO_ASCII[f],
+                   rindex, NT_TO_ASCII[r]))
 
     # Unpaired reverse copy (assembler.c:231-243)
     for i in range(max(dr, 0)):
@@ -510,6 +538,9 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
         seq_p[index] = q
         if is_degenerate(rbits):
             res.degenerates += 1
+        if dbg is not None:  # assembler.c:242
+            dbg(16, "BUILD", "S[%d] = R[%d] = %c"
+                % (index, rindex, NT_TO_ASCII[rbits]))
 
     res.quality = (fquality + rquality + oquality) / length
     res.overlap = bestoverlap
@@ -595,9 +626,10 @@ def compute_offset_result(threshold, penalty, reverse, nt, p, seq_length,
 # Full per-pair pipeline (assemble_seq, assembler.c:252-348)
 # --------------------------------------------------------------------------
 
-def assemble(cfg: OracleConfig, pair):
+def assemble(cfg: OracleConfig, pair, dbg=None):
     """Returns (OracleResult|None, code); code is "OK" on success and the
-    reject-stage name otherwise (count bookkeeping is the caller's job)."""
+    reject-stage name otherwise (count bookkeeping is the caller's job).
+    ``dbg`` forwards the reference's per-stage debug lines (see align)."""
     fwd_nt, fwd_q, flen = pair.fwd_nt, pair.fwd_q, pair.flen
     rev_nt, rev_q, rlen = pair.rev_nt, pair.rev_q, pair.rlen
 
@@ -628,7 +660,8 @@ def assemble(cfg: OracleConfig, pair):
     if min(flen, rlen) < cfg.minoverlap:
         return None, "BADR"
 
-    res, code = align(cfg, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen, fo, ro)
+    res, code = align(cfg, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen, fo,
+                      ro, dbg=dbg)
     if code != "OK":
         # every align() failure counts as NOALGN (assembler.c:293-299)
         return res, "NOALGN"

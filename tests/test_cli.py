@@ -185,3 +185,24 @@ def test_hang_skip_and_threshold():
                              capture_output=True, env=ENV, cwd=ROOT2,
                              timeout=400)
         assert got.stdout == ref.stdout, extra
+
+
+def test_cli_debug_streams_match_reference(tmp_path):
+    """-d BSKRM per-base trace lines (FMER/RMER/OLD/BESTOLP/RECR/BUILD/
+    MISM) are byte-identical to the reference, order-independent."""
+    import re
+    for n in (1, 2):
+        lines = open([F1, F2][n - 1]).readlines()
+        (tmp_path / f"d{n}.fastq").write_text("".join(lines[:12]))
+    args = ["-f", str(tmp_path / "d1.fastq"),
+            "-r", str(tmp_path / "d2.fastq"), "-d", "BSKRM"]
+    ref = run_ref(args)
+    got = run_cli(args)
+    pat = re.compile(rb"(?:DBG|INFO)\t(?:FMER|RMER|OLD|BESTOLP|RECR|"
+                     rb"BUILD|MISM)\t.*")
+    strip = re.compile(rb"^0x[0-9a-f]+:\d+\t")
+    ref_lines = sorted(strip.sub(b"", ln) for ln in ref.stderr.splitlines()
+                       if pat.search(ln))
+    got_lines = sorted(ln for ln in got.stderr.splitlines()
+                       if pat.search(ln))
+    assert ref_lines == got_lines and len(ref_lines) > 1000

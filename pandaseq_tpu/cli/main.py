@@ -362,8 +362,9 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
     fail_fmt = out_mod.format_fail_qual if c.fail_qual \
         else out_mod.format_fail
 
-    from ..runtime import enable_compilation_cache
+    from ..runtime import enable_compilation_cache, maybe_profile
     enable_compilation_cache()
+    prof = maybe_profile().__enter__()  # PANDASEQ_TPU_PROFILE=<dir>
     asm = BatchAssembler(c.cfg, L=512, modules=c.modules)
     reporter = stats.StatReporter(logger)
 
@@ -496,6 +497,7 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
         if mod.destroy is not None:
             mod.destroy()
 
+    prof.__exit__()
     if close_out:
         out_stream.close()
     if fail_stream is not None:

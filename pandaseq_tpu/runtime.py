@@ -9,6 +9,35 @@ from __future__ import annotations
 import os
 
 
+class maybe_profile:
+    """jax.profiler trace over a run when PANDASEQ_TPU_PROFILE=<dir> is
+    set (the framework's tracing story — SURVEY.md §5; the reference has
+    only debug-flag logging)."""
+
+    def __init__(self, trace_dir: str | None = None):
+        self.dir = trace_dir or os.environ.get("PANDASEQ_TPU_PROFILE")
+        self.active = False
+
+    def __enter__(self):
+        if self.dir:
+            try:
+                import jax
+                jax.profiler.start_trace(self.dir)
+                self.active = True
+            except Exception:
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            try:
+                import jax
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False
+
+
 def enable_compilation_cache(cache_dir: str | None = None):
     """Point JAX's persistent compilation cache at a writable directory
     (env PANDASEQ_TPU_CACHE overrides; default ~/.cache/pandaseq_tpu)."""

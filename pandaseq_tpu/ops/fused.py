@@ -84,15 +84,17 @@ def _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen, L, O):
     r_pad = r == 0
     n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
     match = ((f & r) != 0) & ~n_mask
-    contrib = (match.astype(jnp.int16)
-               + (n_mask.astype(jnp.int16) << 10))  # [B, O, O]
+    kq = (jnp.flip(F_km, axis=1)[:, :O, None] == R_km[:, None, :O])
+    # one fused int32 plane: m | unk<<10 | kmer-hit-count<<20 (all
+    # diagonal sums <= 450, so the fields cannot carry) — a single
+    # pad/reshape/reduce pass instead of three
+    contrib = (match.astype(jnp.int32)
+               + (n_mask.astype(jnp.int32) << 10)
+               + (kq.astype(jnp.int32) << 20))  # [B, O, O]
     sums = _skew_diag_reduce(contrib, O)
-    m = (sums & 0x3FF).astype(jnp.int32)
-    unk = (sums >> 10).astype(jnp.int32)
-
-    kq = ((jnp.flip(F_km, axis=1)[:, :O, None] == R_km[:, None, :O])
-          .astype(jnp.int8))
-    cand = _skew_diag_reduce(kq, O, op="max") != 0
+    m = sums & 0x3FF
+    unk = (sums >> 10) & 0x3FF
+    cand = (sums >> 20) != 0
     return m, unk, cand
 
 
@@ -382,10 +384,13 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         rec["overlap_mismatches"].astype(jnp.int32),
         besto32,
     ], axis=1)  # [B, 4]
-    parts = [packed_counts, seq, scalars,
-             jax.lax.bitcast_convert_type(
-                 jnp.where(jnp.isfinite(scores), scores,
-                           jnp.float32(-3e38)), jnp.int32)]
+    parts = [packed_counts, seq, scalars]
+    if lutsum is not None:
+        # pear/rdp: host shortlisting needs the f32 sums; the count-based
+        # algorithms recompute their f32 scores from the integer counts
+        parts.append(jax.lax.bitcast_convert_type(
+            jnp.where(jnp.isfinite(scores), scores, jnp.float32(-3e38)),
+            jnp.int32))
     return jnp.concatenate(parts, axis=1)
 
 

@@ -1,21 +1,24 @@
-"""Batched assembler: TPU scoring/reconstruction + exact f64 host
+"""Batched assembler: one fused TPU dispatch per batch + exact f64 host
 finalization.
 
-Pipeline per batch (see SURVEY.md section 7 and ops/align.py):
+Pipeline per batch (see SURVEY.md §7 and ops/fused.py):
 
-  1. host: decode read pairs into padded [B, L] int8 tensors
-  2. device (ops.align.score_batch): exact integer match/mismatch/unknown
-     counts and the k-mer candidate mask for EVERY overlap offset
-  3. host: f64 overlap scores from the integer counts (bit-identical to
-     the reference's double math for the 5 count-based algorithms); for
-     pear/rdp_mle the device f32 sums prune candidates and the shortlist
-     is re-scored exactly in f64
-  4. device (ops.align.reconstruct_batch): merged bases + per-base
-     provenance codes for the winning overlap
-  5. host: exact f64 per-base probabilities from provenance, quality
-     (the reference's divide-by-len+1), primers, threshold, filters,
-     formatting
+  1. host (_pre): decode to padded [B, L] int8 tensors, badread gate,
+     stateful module prechecks, vectorized primer location (-p/-q)
+  2. device (_dispatch, ONE jit call): exact integer
+     match/unknown/k-mer-hit counts for every overlap (skew diagonal
+     reduction), f32 selection, reconstruction — all packed into a
+     single int32 output plane whose host copy starts asynchronously
+  3. host (_finalize): exact f64 winner re-derivation from the integer
+     counts (full formula for the count-based algorithms; eps-shortlist
+     re-scoring for the per-base-LUT ones), with a per-pair numpy-oracle
+     fallback wherever the device's f32 argmax disagrees; exact quality
+     via the native single-pass kernel (or PTBL gathers + region-ordered
+     cumsums); post primers, threshold, filter modules, formatting —
+     byte-identical to the C reference throughout
 
+_pre/_dispatch/_finalize are pipelined ``depth`` batches deep
+(assemble_stream / emit_stream) so tunnel latency and host work overlap.
 Counter names mirror the reference STAT block (pool.c:83-104).
 """
 
@@ -250,12 +253,12 @@ class BatchAssembler:
         self.L = L
         self.modules = list(modules)
         self.counters = Counters()
-        # per-base probabilities are only materialized when something
-        # consumes them (FASTQ output, filter modules, post primers);
-        # otherwise quality comes from the native single-pass kernel
-        if need_p is None:
-            need_p = bool(self.modules) or self.cfg.post_primers
-        self.need_p = need_p
+        # per-base probabilities materialize lazily per record (consumers:
+        # FASTQ output, filter modules, post primers); quality comes from
+        # the native single-pass kernel. need_p=True forces the eager
+        # vectorized-[B,L2] path (also the fallback without the native
+        # library).
+        self.need_p = bool(need_p)
         algo = self.cfg.algorithm
         name = algo.name
         if name in ("pear", "rdp_mle", "ea_util", "flash", "stitch"):

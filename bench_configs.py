@@ -21,8 +21,8 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(ROOT, "tests", "data")
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 20)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 40)))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
 FWD_PRIMER = "GTGCCAGCMGCCGCGGTAA"
 REV_PRIMER = "GGACTACHVGGGTWTCTAAT"
 

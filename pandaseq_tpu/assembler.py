@@ -248,11 +248,15 @@ class BatchAssembler:
     """Assembles batches of read pairs with reference-identical output."""
 
     def __init__(self, cfg: OracleConfig | None = None, L: int = 512,
-                 modules=(), need_p: bool | None = None):
+                 modules=(), need_p: bool | None = None, mesh=None):
         self.cfg = cfg or OracleConfig()
         self.L = L
         self.modules = list(modules)
         self.counters = Counters()
+        # optional jax Mesh with a "dp" axis: batches whose size divides
+        # the axis are sharded across its devices (XLA partitions the
+        # fused graph; host finalization is unchanged)
+        self.mesh = mesh
         # per-base probabilities materialize lazily per record (consumers:
         # FASTQ output, filter modules, post primers); quality comes from
         # the native single-pass kernel. need_p=True forces the eager
@@ -407,12 +411,22 @@ class BatchAssembler:
         Returns async device arrays — do not block here."""
         cfg = self.cfg
         batch = st["batch"]
+        inputs = (batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
+                  batch.flen, batch.rlen)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ndp = self.mesh.shape.get("dp", 1)
+            if st["B"] % ndp == 0:
+                spec = NamedSharding(self.mesh, P("dp"))
+                # device placement only; the host-side batch arrays stay
+                # numpy for prechecks/fallbacks
+                inputs = tuple(jax.device_put(a, spec) for a in inputs)
         kw = {}
         if self._algo_kind in ("pear", "rdp_mle"):
             kw = dict(lut_match=self._lut_m, lut_mismatch=self._lut_mm)
         out = self._fused.assemble_fused(
-            batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
-            batch.flen, batch.rlen,
+            *inputs,
             st["fo"].astype(np.int32), st["ro"].astype(np.int32),
             L=self.L, O=st["O"], L2=st["L2"], minoverlap=cfg.minoverlap,
             maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,

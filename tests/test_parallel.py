@@ -64,7 +64,14 @@ def test_entry_compiles():
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert int(out["counters"]["reads"]) == args[0].shape[0]
+    # the production fused step returns one packed int32 plane
+    assert out.shape[0] == args[0].shape[0]
+    assert out.dtype == jnp_int32()
+
+
+def jnp_int32():
+    import jax.numpy as jnp
+    return jnp.int32
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -96,3 +103,26 @@ def test_production_fused_sharded_over_dp():
     got_bytes = b"".join(out_mod.format_fasta(r)
                          for c, r in sharded if c == "OK")
     assert got_bytes == ref_bytes
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_assembler_mesh_option_bit_identical():
+    """BatchAssembler(mesh=...) shards transparently, same output."""
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import output as out_mod
+    from pandaseq_tpu.parallel import shard
+    from tests.test_oracle_golden import F1, F2
+
+    pairs = []
+    reader = fq.read_pairs(F1, F2, policy="PRESENT")
+    for _ in range(64):
+        pairs.append(next(reader))
+
+    def run(mesh):
+        asm = BatchAssembler(L=512, mesh=mesh)
+        return b"".join(out_mod.format_fasta(r)
+                        for c, r in asm.assemble_batch(pairs)
+                        if c == "OK")
+
+    assert run(None) == run(shard.make_mesh(8, op=1))

@@ -117,7 +117,12 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
     pidx, pcount = maybe_initialize_distributed()
     my_inputs = shard_inputs(list(inputs), pidx, pcount)
     cfg = cfg or oracle.OracleConfig()
-    asm = BatchAssembler(cfg, L=L, modules=list(modules))
+    import jax
+    mesh = None
+    if jax.local_device_count() > 1:
+        from .shard import make_mesh
+        mesh = make_mesh(jax.local_device_count(), op=1)
+    asm = BatchAssembler(cfg, L=L, modules=list(modules), mesh=mesh)
     fmt = out_mod.format_fastq if fastq else out_mod.format_fasta
     ck = ShardCheckpoint(checkpoint)
 

@@ -56,6 +56,61 @@ def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int,
     return corrupt(fwd), corrupt(rev)
 
 
+def main_fast(args):
+    """Vectorized generator for large benchmark sets (same statistical
+    regimes, numpy RNG stream)."""
+    import numpy as np
+    rng = np.random.RandomState(args.seed)
+    n = args.pairs
+    rl = args.read_len
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    amp_len = rng.randint(args.amp_min, args.amp_max + 1, size=n)
+    max_amp = args.amp_max
+    amp = bases[rng.randint(0, 4, size=(n, max_amp))]
+    import os
+    os.makedirs(os.path.dirname(args.out_prefix) or ".", exist_ok=True)
+    fa = open(args.out_prefix + "_1.fastq", "wb")
+    fb = open(args.out_prefix + "_2.fastq", "wb")
+    pos = np.arange(rl)
+    for which, fh in ((0, fa), (1, fb)):
+        if which == 0:
+            reads = amp[:, :rl].copy()
+        else:
+            # reverse complement of the amplicon tail, ragged by amp_len
+            idx = amp_len[:, None] - 1 - pos[None, :]
+            reads = comp[amp[np.arange(n)[:, None], np.clip(idx, 0,
+                                                            max_amp - 1)]]
+        q = np.clip(rng.normal(38 - 14 * pos / rl, 4, size=(n, rl)),
+                    2, 40).astype(np.int32)
+        cliff = rng.random_sample(n) < 0.15
+        cliff_start = rng.randint(rl * 3 // 4, rl + 1, size=n)
+        q = np.where(cliff[:, None] & (pos[None, :] >=
+                                       cliff_start[:, None]), 2, q)
+        perr = 10.0 ** (-q / 10.0)
+        err = rng.random_sample((n, rl)) < perr
+        sub = bases[rng.randint(0, 4, size=(n, rl))]
+        reads = np.where(err, sub, reads)
+        qbytes = (q + 33).astype(np.uint8)
+        tag = args.tag
+        out = []
+        for i in range(n):
+            out.append(b"@M00000:7:000000000-TEST1:1:1101:%d:%d %d:N:0:%s\n"
+                       % (10000 + i, 2000 + i, which + 1, tag.encode()))
+            out.append(reads[i].tobytes())
+            out.append(b"\n+\n")
+            out.append(qbytes[i].tobytes())
+            out.append(b"\n")
+            if len(out) > 50000:
+                fh.write(b"".join(out))
+                out = []
+        fh.write(b"".join(out))
+        fh.close()
+    print("wrote %d pairs to %s_[12].fastq (fast)" % (n, args.out_prefix))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=200)
@@ -70,7 +125,12 @@ def main():
                     help="primer prepended to the amplicon 5' end")
     ap.add_argument("--rev-primer", default="",
                     help="primer whose revcomp ends the amplicon")
+    ap.add_argument("--fast", action="store_true",
+                    help="vectorized generator for large sets")
     args = ap.parse_args()
+    if args.fast:
+        main_fast(args)
+        return
 
     rng = random.Random(args.seed)
     import os

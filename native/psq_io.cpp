@@ -491,4 +491,28 @@ void psq_quality(const int32_t *seq, long B, long L2, const double *ptbl,
     }
 }
 
+// Primer-location accumulation (offset.c:70-88 hot loop): A[b, s] sums
+// the per-base alignment contributions of a primer starting at s, in
+// ascending primer-position order — the same f64 accumulation order as
+// the reference's circular buffer (and the numpy slice-add fallback).
+void psq_primer_align(const int8_t *nt, const double *p, const double *np_,
+                      long B, long S, const int8_t *primer, long plen,
+                      double *A) {
+    for (long b = 0; b < B; b++) {
+        const int8_t *ntr = nt + b * S;
+        const double *pr = p + b * S;
+        const double *npr = np_ + b * S;
+        double *Ar = A + b * S;
+        for (long s = 0; s < S; s++) Ar[s] = 0.0;
+        for (long x = 0; x < plen; x++) {
+            int px = primer[x] & 0x0F;
+            if (px == 0x0F) continue;  // N contributes nothing
+            long W = S - x;
+            for (long s = 0; s < W; s++) {
+                Ar[s] += (ntr[s + x] & px) ? pr[s + x] : npr[s + x];
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -198,17 +198,20 @@ def _compute_offsets_vec(threshold, penalty, reverse, nt, probs, notprobs,
     else:
         nt_s, p_s, np_s = nt, probs, notprobs
     # A[b, s] = alignment score for start s, accumulated in ascending x —
-    # the same order the C circular buffer receives contributions (the
-    # slice-add keeps each A[s]'s f64 accumulation order identical to
-    # the rolled version while avoiding three array copies per x).
-    A = np.zeros((B, S), dtype=np.float64)
-    for x in range(plen):
-        px = int(primer[x])
-        if px == 0x0F:
-            continue  # N primer bases contribute nothing (offset.c:80)
-        W = S - x
-        A[:, :W] += np.where((nt_s[:, x:] & px) != 0, p_s[:, x:],
-                             np_s[:, x:])
+    # the same order the C circular buffer receives contributions. The
+    # native kernel and the numpy slice-add fallback produce identical
+    # f64 accumulation order.
+    from .io import native as _native
+    A = _native.primer_align(nt_s, p_s, np_s, np.asarray(primer))
+    if A is None:
+        A = np.zeros((B, S), dtype=np.float64)
+        for x in range(plen):
+            px = int(primer[x])
+            if px == 0x0F:
+                continue  # N primer bases contribute nothing (offset.c:80)
+            W = S - x
+            A[:, :W] += np.where((nt_s[:, x:] & px) != 0, p_s[:, x:],
+                                 np_s[:, x:])
     # value at check index i
     checkvals = np.full((B, S), -np.inf)
     i_head = pos.astype(np.float64)

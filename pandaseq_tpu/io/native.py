@@ -74,8 +74,30 @@ def get_lib():
     lib.psq_quality.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                 ctypes.c_long, ctypes.c_void_p,
                                 ctypes.c_void_p, ctypes.c_void_p]
+    lib.psq_primer_align.restype = None
+    lib.psq_primer_align.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_long,
+                                     ctypes.c_long, ctypes.c_void_p,
+                                     ctypes.c_long, ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def primer_align(nt, probs, notprobs, primer):
+    """Native ascending-order primer alignment sums; None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nt = np.ascontiguousarray(nt, dtype=np.int8)
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    notprobs = np.ascontiguousarray(notprobs, dtype=np.float64)
+    primer = np.ascontiguousarray(primer, dtype=np.int8)
+    B, S = nt.shape
+    A = np.empty((B, S), dtype=np.float64)
+    lib.psq_primer_align(nt.ctypes.data, probs.ctypes.data,
+                         notprobs.ctypes.data, B, S, primer.ctypes.data,
+                         len(primer), A.ctypes.data)
+    return A
 
 
 def quality(seq: np.ndarray, ptbl: np.ndarray,

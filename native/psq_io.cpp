@@ -304,8 +304,11 @@ int seqid_parse(SeqId *id, const char *input, int policy,
 // ---------------------------------------------------------------------
 // Paired reader
 // ---------------------------------------------------------------------
+const char NT_ASCII[17] = "NACMGRSVTWYHKDBN";
+
 struct PairReader {
-    Stream fwd, rev;
+    Stream fwd, rev, idx;
+    bool has_index = false;
     int qualmin = 33;
     int policy = TAG_PRESENT;
     // persistent decode buffers (fastq.c:33-36)
@@ -372,13 +375,20 @@ int read_seq(Stream &s, const int8_t *table, int8_t *nt_buf, int8_t *q_buf,
 extern "C" {
 
 void *psq_open_pair(const char *fwd_path, const char *rev_path, int qualmin,
-                    int policy) {
+                    int policy, const char *index_path) {
     PairReader *r = new PairReader();
     r->qualmin = qualmin;
     r->policy = policy;
     if (!r->fwd.open(fwd_path) || !r->rev.open(rev_path)) {
         delete r;
         return nullptr;
+    }
+    if (index_path != nullptr && index_path[0] != 0) {
+        if (!r->idx.open(index_path)) {
+            delete r;
+            return nullptr;
+        }
+        r->has_index = true;
     }
     return r;
 }
@@ -432,6 +442,32 @@ long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
             r->error = -rl;
             break;
         }
+        if (r->has_index) {  // barcode read becomes the tag (fastq.c:159-188)
+            const char *iline = r->idx.next_line();
+            if (iline == nullptr) break;
+            SeqId iid;
+            bool idir_known, i17;
+            int idir = seqid_parse(&iid, iline + 1, r->policy, &idir_known,
+                                   &i17);
+            if (idir == 0) {
+                r->error = ERR_BADID;
+                break;
+            }
+            if (!fid.equal(iid)) {
+                r->error = ERR_NOTPAIRED;
+                break;
+            }
+            int8_t tag_nt[TAG_LEN], tag_q[TAG_LEN];
+            int tl = read_seq(r->idx, IUPAC_FWD, tag_nt, tag_q, TAG_LEN - 1,
+                              r->qualmin, &r->seen_under_64);
+            if (tl < 0) {
+                r->error = -tl;
+                break;
+            }
+            for (int t = 0; t < tl; t++)
+                fid.tag[t] = NT_ASCII[tag_nt[t] & 0x0F];
+            fid.tag[tl] = 0;
+        }
         r->non_empty = true;
         if (fl == 0) continue;  // NODATA: skip record (fastq.c:191)
 
@@ -465,6 +501,7 @@ void psq_close(void *handle) {
     PairReader *r = (PairReader *) handle;
     r->fwd.close();
     r->rev.close();
+    r->idx.close();
     delete r;
 }
 

@@ -369,14 +369,15 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
     reporter = stats.StatReporter(logger)
 
     native_reader = None
-    if (c.index_file is None and reader_wrapper is None
+    if (reader_wrapper is None
             and not os.environ.get("PANDASEQ_TPU_NO_NATIVE")):
         from ..io import native
         try:
             if native.get_lib() is not None:
                 native_reader = native.NativeBatchReader(
                     c.fwd_file, c.rev_file, qualmin=c.qualmin,
-                    policy=c.policy, batch=c.batch, L=512)
+                    policy=c.policy, batch=c.batch, L=512,
+                    index_path=c.index_file)
         except (OSError, RuntimeError):
             native_reader = None
     if native_reader is None:

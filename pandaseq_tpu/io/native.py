@@ -60,7 +60,8 @@ def get_lib():
     lib = ctypes.CDLL(so)
     lib.psq_open_pair.restype = ctypes.c_void_p
     lib.psq_open_pair.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                  ctypes.c_int, ctypes.c_int]
+                                  ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_char_p]
     lib.psq_next_batch.restype = ctypes.c_long
     lib.psq_next_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
@@ -190,7 +191,8 @@ class NativeBatchReader:
     """Streams `assembler.Batch` objects of up to `batch` pairs."""
 
     def __init__(self, fwd_path: str, rev_path: str, qualmin: int = 33,
-                 policy: str = "PRESENT", batch: int = 1024, L: int = 512):
+                 policy: str = "PRESENT", batch: int = 1024, L: int = 512,
+                 index_path: str | None = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native decoder unavailable")
@@ -200,8 +202,12 @@ class NativeBatchReader:
         self.error = None
         self.seen_under_64 = False
         self.non_empty = False
+        if index_path is not None:
+            policy = "OPTIONAL"  # index mode forces it (fastq.c:231)
         self.h = lib.psq_open_pair(fwd_path.encode(), rev_path.encode(),
-                                   qualmin, POLICY_MAP[policy])
+                                   qualmin, POLICY_MAP[policy],
+                                   index_path.encode() if index_path
+                                   else None)
         if not self.h:
             raise OSError("cannot open %s / %s" % (fwd_path, rev_path))
 

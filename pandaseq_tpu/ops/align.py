@@ -85,6 +85,17 @@ def _window9_nonn(nonn, L):
     return (cs - cs_pad) == 9
 
 
+def _occurrence_rank_plane(kf, emit, L):
+    """rank[b, p] = number of earlier emissions with the same k-mer value
+    via a lower-triangular equality plane — one [B, L, L] compare+reduce
+    instead of three sorts (TPU sorts cost ~10 ms each at this shape)."""
+    eq = (kf[:, :, None] == kf[:, None, :]) & emit[:, None, :]
+    p = jnp.arange(L, dtype=jnp.int32)
+    tri = p[None, :, None] > p[None, None, :]  # strictly earlier
+    return jnp.sum((eq & tri).astype(jnp.int8), axis=2,
+                   dtype=jnp.int32)
+
+
 def _occurrence_rank(kf, emit, L):
     """rank[b, p] = number of earlier emissions with the same k-mer value
     (the kmerseen slot index); the reference keeps only the first
@@ -163,7 +174,7 @@ def score_batch(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, L: int,
     # reverse emission at p needs positions p..p+8 visited and non-N
     w9r = _window9_nonn(jnp.flip(nonn_r, axis=1), L)
     emit_r = jnp.flip(w9r, axis=1) & (pos + KMER_LEN < rlen[:, None])
-    rank = _occurrence_rank(kf, emit_f, L)
+    rank = _occurrence_rank_plane(kf, emit_f, L)
     stored_f = emit_f & (rank < num_kmers)
 
     # ---- aligned frames ----
@@ -280,10 +291,16 @@ def _reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro,
     take_r = lambda x: jnp.take_along_axis(
         x, jnp.clip(rindex, 0, L - 1), axis=1)
 
-    f_nt = take_f(fwd_nt.astype(jnp.int32) & 0x0F)
-    f_q = take_f(fwd_q.astype(jnp.int32))
-    r_nt = take_r(rev_nt.astype(jnp.int32) & 0x0F)
-    r_q = take_r(rev_q.astype(jnp.int32))
+    # one packed gather per side (row-wise dynamic gathers dominate this
+    # kernel's cost on TPU): nt in bits 0-3, qual in bits 4-9
+    fp = take_f((fwd_nt.astype(jnp.int32) & 0x0F)
+                | (fwd_q.astype(jnp.int32) << 4))
+    rp = take_r((rev_nt.astype(jnp.int32) & 0x0F)
+                | (rev_q.astype(jnp.int32) << 4))
+    f_nt = fp & 0x0F
+    f_q = (fp >> 4) & 0x3F
+    r_nt = rp & 0x0F
+    r_q = (rp >> 4) & 0x3F
 
     # B-cliff unmasked lengths (assembler.c:176-177)
     posL = jnp.arange(L, dtype=jnp.int32)[None, :]

@@ -67,6 +67,45 @@ def _skew_diag_reduce(X, O, op="sum"):
     return jnp.max(S, axis=1)[:, :O]
 
 
+_DIAG_T = {}
+
+
+def _diag_matrix(O: int) -> np.ndarray:
+    """T[(j*O + i), d] = 1 iff j + i == d (d < O): turns diagonal
+    reduction of a flattened [O, O] plane into ONE int8 MXU matmul."""
+    T = _DIAG_T.get(O)
+    if T is None:
+        j = np.arange(O)[:, None, None]
+        i = np.arange(O)[None, :, None]
+        d = np.arange(O)[None, None, :]
+        T = ((j + i) == d).astype(np.int8).reshape(O * O, O)
+        _DIAG_T[O] = T
+    return T
+
+
+def _counts_mm(F_nt, R_nt, F_km, R_km, flen, rlen, L, O):
+    """matches/unknowns/k-mer candidates via int8 matmul diagonal
+    reduction — exact integer accumulation on the MXU, no relayout."""
+    B = F_nt.shape[0]
+    Fr = jnp.flip(F_nt, axis=1)[:, :O]  # o = j' + i + 1
+    f = Fr[:, :, None]
+    r = R_nt[:, None, :O]
+    f_pad = f == 0
+    r_pad = r == 0
+    n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
+    match = ((f & r) != 0) & ~n_mask
+    kq = jnp.flip(F_km, axis=1)[:, :O, None] == R_km[:, None, :O]
+    # batch-axis concat (no minor-dim relayout) + 2-dim contraction
+    planes = jnp.concatenate(
+        [match.astype(jnp.int8), n_mask.astype(jnp.int8),
+         kq.astype(jnp.int8)], axis=0)  # [3B, O, O]
+    T3 = jnp.asarray(_diag_matrix(O).reshape(O, O, O))
+    sums = jax.lax.dot_general(
+        planes, T3, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32)  # [3B, O]
+    return sums[:B], sums[B:2 * B], sums[2 * B:] != 0
+
+
 def _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen, L, O):
     """matches/unknowns/k-mer candidates for every overlap via
     broadcast-compare + diagonal reduction (no gather, no loop).
@@ -182,17 +221,35 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         # probe misses, ALL_BITS_IF_NONE examines every overlap
         stored_f = jnp.zeros_like(emit_f)
     else:
-        rank = A._occurrence_rank(kf, emit_f, L)
+        rank = jax.lax.optimization_barrier(
+            A._occurrence_rank_plane(kf, emit_f, L))
         stored_f = emit_f & (rank < num_kmers)
 
-    # ---- aligned frames ----
-    F_nt = A._right_align(nt16_f, flen, L)
-    F_q = A._right_align(fwd_q.astype(jnp.int32), flen, L)
-    F_km = A._right_align(jnp.where(stored_f, kf, -1), flen, L, fill=-1)
-    R_nt = A._flip(nt16_r, rlen, L)
-    R_q = A._flip(rev_q.astype(jnp.int32), rlen, L)
-    R_km = A._flip(jnp.where(emit_r, kr, -2), rlen, L, fill=-2)
-    FP_q = A._flip(fwd_q.astype(jnp.int32), rlen, L)  # pear quirk
+    # ---- aligned frames (row-wise dynamic gathers are the expensive op
+    # on TPU, so each frame packs several fields into one int32 plane:
+    # fwd = nt | q<<4 | (kmer+1)<<10 [17b]; rev = nt | q<<4 | fpq<<10
+    # plus a separate (kmer+2) plane). Sentinels shift to 0 so the pad
+    # fill stays 0. ----
+    fq32 = fwd_q.astype(jnp.int32)
+    fwd_packed = (nt16_f | (fq32 << 4)
+                  | ((jnp.where(stored_f, kf, -1) + 1) << 10))
+    FP = A._right_align(fwd_packed, flen, L)
+    F_nt = FP & 0x0F
+    F_q = (FP >> 4) & 0x3F
+    F_km = ((FP >> 10) & 0x1FFFF) - 1
+    rev_packed = (nt16_r | (rev_q.astype(jnp.int32) << 4) | (fq32 << 10))
+    RP = A._flip(rev_packed, rlen, L)
+    R_nt = RP & 0x0F
+    R_q = (RP >> 4) & 0x3F
+    FP_q = (RP >> 10) & 0x3F  # pear quirk: fwd quals at the rev index map
+    R_km = A._flip(jnp.where(emit_r, kr, -2) + 2, rlen, L) - 2
+
+    # materialize the frames before the [B, O, O] planes consume them:
+    # otherwise XLA fuses the take_along_axis gathers INTO the plane
+    # producers and recomputes them O times per element (~6x slowdown)
+    (F_nt, F_q, F_km, R_nt, R_q, R_km, FP_q) = \
+        jax.lax.optimization_barrier(
+            (F_nt, F_q, F_km, R_nt, R_q, R_km, FP_q))
 
     # ---- all-overlap comparison (both axes bounded by O: overlap-local
     # position i < o <= O) ----
@@ -207,7 +264,7 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     nvalid = jnp.maximum(
         0, jnp.minimum(o2d, rlen[:, None])
         - jnp.maximum(0, o2d - flen[:, None]))  # [B, O]
-    default_impl = "skew" if jax.default_backend() == "tpu" else "gather"
+    default_impl = "mm" if jax.default_backend() == "tpu" else "gather"
     counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", default_impl)
     cand = None
     lutsum = None
@@ -257,6 +314,10 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
         m = jnp.sum(valid & ~n_mask & raw_match, axis=2, dtype=jnp.int32)
         mm = jnp.sum(valid & ~n_mask & ~raw_match, axis=2,
                      dtype=jnp.int32)
+    elif counts_impl == "mm":
+        m, unk, cand = _counts_mm(F_nt, R_nt, F_km, R_km, flen, rlen,
+                                  L, O)
+        mm = nvalid - m - unk
     elif counts_impl == "skew":
         m, unk, cand = _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen,
                                     L, O)
@@ -364,6 +425,8 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
 
     scores = jnp.where(cand_in, scores, -jnp.inf)
     besto32 = jnp.argmax(scores, axis=1).astype(jnp.int32) + 1
+    besto32, packed_counts = jax.lax.optimization_barrier(
+        (besto32, packed_counts))
 
     # ---- reconstruction at the f32 winner ----
     rec = A._reconstruct_core(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 8  # pairs per grid program (VPU sublane count)
+BT = 32  # pairs per grid program (4 sublane tiles per op)
 
 
 def _kernel(fnt_ref, rnt_ref, fkm_ref, rkm_ref, flen_ref, rlen_ref,

@@ -268,12 +268,13 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     counts_impl = _os.environ.get("PANDASEQ_TPU_COUNTS", default_impl)
     cand = None
     lutsum = None
-    if algo_kind in ("pear", "rdp_mle") and counts_impl == "skew":
+    if algo_kind in ("pear", "rdp_mle") and counts_impl in ("skew", "mm"):
         # LUT sums over every overlap as diagonal reductions of an
-        # elementwise contribution plane (same frame as _counts_skew);
+        # elementwise contribution plane (same frame as the counts);
         # f32 sums are pruning-only, so reduction order is free
-        m, unk, cand = _counts_skew(F_nt, R_nt, F_km, R_km, flen, rlen,
-                                    L, O)
+        counts_fn = _counts_mm if counts_impl == "mm" else _counts_skew
+        m, unk, cand = counts_fn(F_nt, R_nt, F_km, R_km, flen, rlen,
+                                 L, O)
         mm = nvalid - m - unk
         f = jnp.flip(F_nt, axis=1)[:, :O, None]
         r = R_nt[:, None, :O]

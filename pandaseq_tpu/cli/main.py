@@ -39,6 +39,13 @@ class ArgsError(Exception):
     pass
 
 
+def _safe_int(arg):
+    try:
+        return int(arg, 10)
+    except ValueError:
+        return None
+
+
 def _err(msg):
     sys.stderr.write(msg + "\n")
 
@@ -227,28 +234,28 @@ def parse_args(argv, prog="pandaseq"):
                 raise ArgsError("kmers")
             c.cfg.num_kmers = v
         elif f == "l":
-            v = int(arg)
-            if v < 0 or v > 2 * MAX_LEN:
+            v = _safe_int(arg)
+            if v is None or v < 0 or v > 2 * MAX_LEN:
                 _err("Bad minimum length.")
                 raise ArgsError("minlen")
             module_specs.append(("l", v))
         elif f == "L":
-            v = int(arg)
-            if v < 1 or v > 2 * MAX_LEN:
+            v = _safe_int(arg)
+            if v is None or v < 1 or v > 2 * MAX_LEN:
                 _err("Bad maximum length.")
                 raise ArgsError("maxlen")
             module_specs.append(("L", v))
         elif f == "N":
             module_specs.append(("N", None))
         elif f == "o":
-            v = int(arg)
-            if v < 1 or v > 2 * MAX_LEN:
+            v = _safe_int(arg)
+            if v is None or v < 1 or v > 2 * MAX_LEN:
                 _err("Bad overlap length.")
                 raise ArgsError("minoverlap")
             c.cfg.minoverlap = v
         elif f == "O":
-            v = int(arg)
-            if v < 0 or v > 2 * MAX_LEN:
+            v = _safe_int(arg)
+            if v is None or v < 0 or v > 2 * MAX_LEN:
                 _err("Bad overlap length.")
                 raise ArgsError("maxoverlap")
             c.cfg.maxoverlap = v
@@ -277,7 +284,11 @@ def parse_args(argv, prog="pandaseq"):
                 raise ArgsError("threshold")
             c.cfg.threshold = math.log(v)
         elif f == "T":
-            c.threads = int(arg)
+            v = _safe_int(arg)
+            if v is None or v < 1:
+                _err("Bad number of threads.")
+                raise ArgsError("threads")
+            c.threads = v
         elif f == "u":
             c.fail_path, c.fail_qual = arg, False
         elif f == "U":

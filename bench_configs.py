@@ -101,13 +101,17 @@ def main():
     results.append(run_config(
         "simple_bayesian", *plain, oracle.OracleConfig(), (), True))
 
+    # min_overlapbits compares the RDP-MLE bits score (Cole 2013), so it
+    # pairs with -A rdp_mle; with log-prob algorithms it rejects all (as
+    # in the reference)
     cfg2 = oracle.OracleConfig(
+        algorithm=oracle.make_algorithm("rdp_mle"),
         forward_primer=nt_from_ascii(
             np.frombuffer(FWD_PRIMER.encode(), dtype=np.uint8)),
         reverse_primer=nt_from_ascii_complement(
             np.frombuffer(REV_PRIMER.encode(), dtype=np.uint8)))
-    mods2 = [filters.load_module("min_phred:10", logger),
-             filters.load_module("min_overlapbits", logger)]
+    mods2 = [filters.load_module("min_overlapbits", logger),
+             filters.load_module("completely_miss_the_point:4", logger)]
     results.append(run_config("primers+filters", *primed, cfg2, mods2,
                               False))
 

@@ -24,7 +24,7 @@ REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 40)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
 
 
 def log(msg):
@@ -106,7 +106,8 @@ def bench_tpu() -> float:
     from pandaseq_tpu.io.prefetch import prefetch
     for _, codes, payload in asm.emit_stream(prefetch(batches(),
                                                       depth=DEPTH + 2),
-                                             depth=DEPTH):
+                                             depth=DEPTH,
+                                             threaded=True):
         sink += payload
         n_in += len(codes)
     n_out = asm.counters.ok

@@ -404,18 +404,33 @@ class BatchAssembler:
         O = int(min(self.L, _bucket(max(int(maxo.max(initial=1)), 1))))
         L2 = int(min(2 * self.L,
                      _bucket(int((flen + rlen).max(initial=2)) + 1)))
+        # device frame width: reads are usually much shorter than the
+        # decode stride, and the tunnel charges per byte — slice the
+        # uploads (and the frame/rank-plane compute) to the batch's own
+        # max length (>= O: the o-axis index map needs L - o >= 0)
+        Lb = int(min(self.L, max(
+            _bucket(int(max(flen.max(initial=1), rlen.max(initial=1)))),
+            O)))
         return dict(pairs=pairs, batch=batch, B=B, flen=flen, rlen=rlen,
                     fo=fo, ro=ro, badread=badread, prerej=prerej,
                     nofp=nofp, norp=norp, shortread=shortread, maxo=maxo,
-                    negs=negs, O=O, L2=L2)
+                    negs=negs, O=O, L2=L2, Lb=Lb)
 
     def _dispatch(self, st):
         """Stage 1: the fused device step (single dispatch; ops/fused.py).
         Returns async device arrays — do not block here."""
         cfg = self.cfg
         batch = st["batch"]
-        inputs = (batch.fwd_nt, batch.fwd_q, batch.rev_nt, batch.rev_q,
-                  batch.flen, batch.rlen)
+        Lb = st["Lb"]
+        if Lb < self.L:
+            inputs = (np.ascontiguousarray(batch.fwd_nt[:, :Lb]),
+                      np.ascontiguousarray(batch.fwd_q[:, :Lb]),
+                      np.ascontiguousarray(batch.rev_nt[:, :Lb]),
+                      np.ascontiguousarray(batch.rev_q[:, :Lb]),
+                      batch.flen, batch.rlen)
+        else:
+            inputs = (batch.fwd_nt, batch.fwd_q, batch.rev_nt,
+                      batch.rev_q, batch.flen, batch.rlen)
         if self.mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -431,7 +446,7 @@ class BatchAssembler:
         out = self._fused.assemble_fused(
             *inputs,
             st["fo"].astype(np.int32), st["ro"].astype(np.int32),
-            L=self.L, O=st["O"], L2=st["L2"], minoverlap=cfg.minoverlap,
+            L=Lb, O=st["O"], L2=st["L2"], minoverlap=cfg.minoverlap,
             maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,
             algo_kind=self._algo_kind, pmatch=float(self._pmatch),
             pmismatch=float(self._pmismatch),

@@ -466,7 +466,8 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
         for pairs, codes, payload, extras in asm.emit_stream(
-                prefetch(batches()), fmt=emit_fmt, with_extras=True):
+                prefetch(batches()), fmt=emit_fmt, with_extras=True,
+                depth=6, threaded=True):
             out_stream.write(payload)
             overlaps = extras["overlap"]
             scored = extras["scored"]

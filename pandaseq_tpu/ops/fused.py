@@ -67,6 +67,13 @@ def _skew_diag_reduce(X, O, op="sum"):
     return jnp.max(S, axis=1)[:, :O]
 
 
+def _xbar():
+    """Experimental extra-barrier points (comma list in
+    PANDASEQ_TPU_XBAR): fusion-pathology probes, not a user knob."""
+    import os as _os
+    return _os.environ.get("PANDASEQ_TPU_XBAR", "").split(",")
+
+
 _DIAG_T = {}
 
 
@@ -99,6 +106,8 @@ def _counts_mm(F_nt, R_nt, F_km, R_km, flen, rlen, L, O):
     planes = jnp.concatenate(
         [match.astype(jnp.int8), n_mask.astype(jnp.int8),
          kq.astype(jnp.int8)], axis=0)  # [3B, O, O]
+    if "planes" in _xbar():
+        planes = jax.lax.optimization_barrier(planes)
     T3 = jnp.asarray(_diag_matrix(O).reshape(O, O, O))
     sums = jax.lax.dot_general(
         planes, T3, (((1, 2), (0, 1)), ((), ())),
@@ -354,6 +363,9 @@ def assemble_fused(fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, fo, ro, *,
     if cand is None:
         FS_km = gather(F_km)
         cand = jnp.any((FS_km == R_km[:, None, :O]) & ivalid, axis=2)
+    if "counts" in _xbar():
+        m, mm, unk, cand = jax.lax.optimization_barrier(
+            (m, mm, unk, cand))
     packed_counts = (m | (mm << 10) | (cand.astype(jnp.int32) << 21))
 
     # ---- candidate range + f32 scores ----

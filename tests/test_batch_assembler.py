@@ -141,3 +141,66 @@ def test_batch_primers_post():
                 chunks.append(out_mod.format_fasta(res))
     got = b"".join(chunks)
     assert got == ref, _diff_head(ref, got)
+
+
+def test_batch_mixed_extreme_lengths_vs_oracle():
+    """The per-batch device frame width (Lb bucketing, assembler._pre)
+    must not change results: batches mixing tiny and MAX_LEN reads take
+    every bucket boundary, and each pair must agree with the exact f64
+    oracle."""
+    from pandaseq_tpu import oracle, seqid
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io.fastq import ReadPair
+
+    rng = np.random.default_rng(99)
+    lengths = [2, 3, 17, 47, 127, 128, 129, 200, 255, 256, 257,
+               300, 383, 384, 449, 450, 450, 5, 450, 64]
+    pairs = []
+    for i, n in enumerate(lengths):
+        m = int(lengths[(i * 7 + 3) % len(lengths)])
+        # 1-hot A/C/G/T codes 1,2,4,8 with a shared overlap core so some
+        # pairs actually merge
+        core = rng.choice([1, 2, 4, 8], size=60).astype(np.int8)
+        fwd = np.zeros(512, dtype=np.int8)
+        rev = np.zeros(512, dtype=np.int8)
+        fwd[:n] = rng.choice([1, 2, 4, 8], size=n)
+        rev[:m] = rng.choice([1, 2, 4, 8], size=m)
+        k = min(40, n, m)
+        if k > 0:  # plant a true overlap: fwd tail == revcomp head
+            fwd[n - k:n] = core[:k]
+            rc = {1: 8, 2: 4, 4: 2, 8: 1}
+            rev[:k] = [rc[int(x)] for x in core[:k][::-1]]
+        fq = np.zeros(512, dtype=np.int8)
+        rq = np.zeros(512, dtype=np.int8)
+        fq[:n] = rng.integers(2, 41, n)
+        rq[:m] = rng.integers(2, 41, m)
+        sid = seqid.parse(
+            "M00000:1:000000000-AAAAA:1:1101:%d:%d 1:N:0:1"
+            % (1000 + i, 2000 + i), seqid.TAG_OPTIONAL)[1]
+        pairs.append(ReadPair(sid=sid, fwd_nt=fwd, fwd_q=fq, flen=n,
+                              rev_nt=rev, rev_q=rq, rlen=m))
+
+    cfg = oracle.OracleConfig()
+    asm = BatchAssembler(cfg, L=512)
+    got = asm.assemble_batch(pairs)
+    assert len(got) == len(pairs)
+    n_ok = 0
+    for pair, (code, res) in zip(pairs, got):
+        want_res, want_code = oracle.align(
+            cfg, pair.fwd_nt, pair.fwd_q, pair.flen,
+            pair.rev_nt, pair.rev_q, pair.rlen, 0, 0)
+        if want_code == "OK" and want_res.quality < cfg.threshold:
+            want_code = "LOWQ"
+        if code == "OK":
+            n_ok += 1
+            assert want_code == "OK"
+            assert res.sequence_length == want_res.sequence_length
+            assert np.array_equal(
+                np.asarray(res.sequence_nt[:res.sequence_length]),
+                np.asarray(want_res.sequence_nt[:want_res
+                                                .sequence_length]))
+            assert res.overlap == want_res.overlap
+            assert res.quality == want_res.quality
+        else:
+            assert want_code != "OK", (pair.sid, code, want_code)
+    assert n_ok >= 5  # the planted overlaps must merge

@@ -531,11 +531,14 @@ class BatchAssembler:
                     besto[b] = bo
                     best[b] = bb
         else:
-            # exact f64 scores for every candidate offset directly from
-            # the integer counts (~10 ms/batch — no pruning needed)
-            scores = _scores_from_counts(algo, m, mm, unk, valid,
-                                         flen[:, None], rlen[:, None], o)
-            scores = np.where(cand_in, scores, -np.inf)
+            # exact f64 scores directly from the integer counts, only at
+            # the candidate offsets (typically a few % of the [B, O]
+            # grid; elementwise, so 1-D fancy-indexed slices broadcast)
+            bi, oi = np.nonzero(cand_in)
+            scores = np.full(cand_in.shape, -np.inf)
+            scores[bi, oi] = _scores_from_counts(
+                algo, m[bi, oi], mm[bi, oi], unk[bi, oi], valid[bi, oi],
+                flen[bi], rlen[bi], o[0, oi])
             scores = np.where(np.isnan(scores), -np.inf, scores)
             best = scores.max(axis=1, initial=-np.inf)
             besto = scores.argmax(axis=1) + 1  # first occurrence == C rule

@@ -423,10 +423,15 @@ class BatchAssembler:
         batch = st["batch"]
         Lb = st["Lb"]
         if Lb < self.L:
-            inputs = (np.ascontiguousarray(batch.fwd_nt[:, :Lb]),
-                      np.ascontiguousarray(batch.fwd_q[:, :Lb]),
-                      np.ascontiguousarray(batch.rev_nt[:, :Lb]),
-                      np.ascontiguousarray(batch.rev_q[:, :Lb]),
+            # slice uploads to the batch's own width; keep jax arrays
+            # (e.g. dp-sharded via shard_fused_batch) on device — lax
+            # slicing preserves their sharding, numpy gets a compact copy
+            def cut(a):
+                if isinstance(a, np.ndarray):
+                    return np.ascontiguousarray(a[:, :Lb])
+                return a[:, :Lb]
+            inputs = (cut(batch.fwd_nt), cut(batch.fwd_q),
+                      cut(batch.rev_nt), cut(batch.rev_q),
                       batch.flen, batch.rlen)
         else:
             inputs = (batch.fwd_nt, batch.fwd_q, batch.rev_nt,

@@ -99,6 +99,9 @@ def test_production_fused_sharded_over_dp():
     mesh = shard.make_mesh(8, op=1)
     asm2 = BatchAssembler(L=512)
     st, dev = shard.shard_fused_batch(mesh, asm2, make_batch(pairs, 512))
+    # the fused result must actually be computed dp-sharded (the width
+    # slicing in _dispatch must not silently pull inputs back to host)
+    assert len(dev.sharding.device_set) == 8, dev.sharding
     sharded = asm2._finalize(st, dev)
     got_bytes = b"".join(out_mod.format_fasta(r)
                          for c, r in sharded if c == "OK")

@@ -206,3 +206,55 @@ def test_cli_debug_streams_match_reference(tmp_path):
     got_lines = sorted(ln for ln in got.stderr.splitlines()
                        if pat.search(ln))
     assert ref_lines == got_lines and len(ref_lines) > 1000
+
+
+def test_cli_unaligned_qual_file(tmp_path):
+    """-U collects NOALGN pairs WITH quality scores (args_fastq.c:78-79,
+    panda_output_fail_qual)."""
+    fail_ref = tmp_path / "ref_unaligned.txt"
+    fail_got = tmp_path / "got_unaligned.txt"
+    extra = ["-A", "flash"]  # flash rejects most pairs -> rich fail file
+    ref = run_ref(BASE + extra + ["-U", str(fail_ref)])
+    got = run_cli(BASE + extra + ["-U", str(fail_got)])
+    assert fail_ref.read_bytes() != b""
+    assert fail_got.read_bytes() == fail_ref.read_bytes()
+    assert got.stdout == ref.stdout
+
+
+def test_cli_log_bz2(tmp_path):
+    """-G writes a BZip2-compressed log with the same STAT schema."""
+    import bz2
+    log_ref = tmp_path / "ref_log.bz2"
+    log_got = tmp_path / "got_log.bz2"
+    ref = run_ref(BASE + ["-G", str(log_ref)])
+    got = run_cli(BASE + ["-G", str(log_got)])
+    assert got.stdout == ref.stdout
+    def stats_of(b):
+        return [l.split(b"STAT", 1)[1]
+                for l in bz2.decompress(b).splitlines()
+                if b"STAT" in l and b"TIME" not in l
+                and b"ELAPSED" not in l]
+    ref_stats = stats_of(log_ref.read_bytes())
+    got_stats = stats_of(log_got.read_bytes())
+    assert ref_stats and got_stats == ref_stats
+
+
+def test_cli_untagged_ids_require_B(tmp_path):
+    """Empty-tag headers hit BADID under the default PRESENT policy and
+    pass with -B (PANDA_TAG_OPTIONAL, args_fastq.c:62-64)."""
+    u1 = tmp_path / "u1.fastq"
+    u2 = tmp_path / "u2.fastq"
+    for src, dst in ((F1, u1), (F2, u2)):
+        data = open(src, "rb").read()
+        dst.write_bytes(data.replace(b":N:0:ACGTAC\n", b":N:0:\n"))
+    base = ["-f", str(u1), "-r", str(u2)]
+    ref = run_ref(base)
+    got = run_cli(base)
+    assert got.stdout == ref.stdout
+    assert got.returncode == ref.returncode
+    ref_b = run_ref(base + ["-B"])
+    got_b = run_cli(base + ["-B"])
+    assert ref_b.stdout != ref.stdout  # -B must change the outcome
+    assert got_b.stdout == ref_b.stdout, _diff_head(ref_b.stdout,
+                                                    got_b.stdout)
+    assert got_b.returncode == ref_b.returncode

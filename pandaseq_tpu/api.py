@@ -39,6 +39,7 @@ class Assembler:
         self.batch = batch
         self.modules = []
         self._engine = None
+        self._on_fail = None
 
     # -- configuration surface (assembler_support.c getters/setters) --
     @property
@@ -129,10 +130,60 @@ class Assembler:
         self.modules.append(module)
         self._engine = None
 
-    # -- counters (panda_assembler_get_*_count) --
+    def set_fail_alignment(self, callback):
+        """panda_assembler_set_fail_alignment
+        (pandaseq-assembler.h:224): ``callback(pair)`` is invoked for
+        every pair whose alignment fails (NOALGN) during stream()."""
+        self._on_fail = callback
+
+    # -- counters (panda_assembler_get_*_count,
+    #    pandaseq-assembler.h:208-385) --
     @property
     def counters(self):
         return self._ensure_engine().counters
+
+    @property
+    def count(self):
+        return self.counters.count
+
+    @property
+    def ok_count(self):
+        return self.counters.ok
+
+    @property
+    def low_quality_count(self):
+        return self.counters.lowq
+
+    @property
+    def bad_read_count(self):
+        return self.counters.badread
+
+    @property
+    def failed_alignment_count(self):
+        return self.counters.noalgn
+
+    @property
+    def no_forward_primer_count(self):
+        return self.counters.nofp
+
+    @property
+    def no_reverse_primer_count(self):
+        return self.counters.norp
+
+    @property
+    def slow_count(self):
+        return self.counters.slow
+
+    @property
+    def overlap_count(self):
+        """panda_assembler_get_overlap_count: histogram {overlap: n}."""
+        return dict(self.counters.overlaps)
+
+    @property
+    def longest_overlap(self):
+        """panda_assembler_get_longest_overlap (assembler.h:75 bound)."""
+        h = self.counters.overlaps
+        return max(h) if h else 0
 
     # -- assembly --
     def _ensure_engine(self) -> BatchAssembler:
@@ -212,7 +263,9 @@ class Assembler:
                     if chunk:
                         yield chunk
             batches = gen()
-        for _, results in engine.assemble_stream(batches):
-            for code, res in results:
+        for pairs, results in engine.assemble_stream(batches):
+            for pair, (code, res) in zip(pairs, results):
                 if code == "OK":
                     yield res
+                elif code == "NOALGN" and self._on_fail is not None:
+                    self._on_fail(pair)

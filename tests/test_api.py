@@ -94,3 +94,26 @@ def test_prefetch_order_and_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_api_count_getters_and_fail_callback():
+    """The panda_assembler_get_* counter surface + set_fail_alignment."""
+    import pandaseq_tpu as pt
+    from tests.test_oracle_golden import F1, F2
+
+    asm = pt.Assembler()
+    asm.algorithm = "flash"  # rejects most pairs -> NOALGN traffic
+    failed = []
+    asm.set_fail_alignment(lambda pair: failed.append(str(pair.sid)))
+    n_ok = sum(1 for _ in asm.stream(F1, F2))
+    assert asm.ok_count == n_ok
+    assert asm.failed_alignment_count == len(failed) > 0
+    assert asm.count == (asm.ok_count + asm.failed_alignment_count
+                         + asm.low_quality_count + asm.bad_read_count
+                         + asm.no_forward_primer_count
+                         + asm.no_reverse_primer_count)
+    assert asm.slow_count >= 0
+    hist = asm.overlap_count
+    assert sum(hist.values()) == asm.ok_count + asm.low_quality_count \
+        or sum(hist.values()) == asm.ok_count
+    assert asm.longest_overlap == (max(hist) if hist else 0)

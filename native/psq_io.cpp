@@ -21,6 +21,7 @@
 //
 // Exposed as a plain C ABI consumed through ctypes (io/native.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -398,10 +399,21 @@ void *psq_open_pair(const char *fwd_path, const char *rev_path, int qualmin,
 // "instrument:run:flowcell:lane:tile:x:y:tag" string. Returns the number
 // of pairs produced; sets *error when the stream terminated on a
 // malformed record (treated as end-of-stream, assembler.c:356-358).
+//
+// With rev_layout != 0 the nt/qual rows are written REVERSED and
+// left-aligned (row position j holds base len-1-j) — the frame layout
+// the v2 device kernel consumes directly (ops/fused2.py). The nt tail
+// past the read is zeroed; the QUAL tail keeps the persistent-buffer
+// bytes raw (indices >= len), preserving the stale-read PEAR quirk
+// (fastq.c:33-36, algo_pear.c:52-54).
+// nt_pack (optional, rev_layout only): [batch, stride] bytes carrying
+// both reads' 4-bit codes nibble-packed (fwd | rev << 4) — the device
+// upload plane (ops/fused2.py ships nt codes at 0.5 byte/base/read).
 long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
                     int8_t *fwd_q, int8_t *rev_nt, int8_t *rev_q,
                     int32_t *flen, int32_t *rlen, char *ids,
-                    long id_stride, int32_t *error) {
+                    long id_stride, int32_t *error, int rev_layout,
+                    int8_t *nt_pack) {
     PairReader *r = (PairReader *) handle;
     long n = 0;
     *error = r->error;
@@ -471,18 +483,45 @@ long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
         r->non_empty = true;
         if (fl == 0) continue;  // NODATA: skip record (fastq.c:191)
 
-        int8_t *dst = fwd_nt + n * stride;
-        memcpy(dst, r->fwd_nt, MAX_LEN);
-        memset(dst + MAX_LEN, 0, stride - MAX_LEN);
-        dst = fwd_q + n * stride;
-        memcpy(dst, r->fwd_q, MAX_LEN);
-        memset(dst + MAX_LEN, 0, stride - MAX_LEN);
-        dst = rev_nt + n * stride;
-        memcpy(dst, r->rev_nt, MAX_LEN);
-        memset(dst + MAX_LEN, 0, stride - MAX_LEN);
-        dst = rev_q + n * stride;
-        memcpy(dst, r->rev_q, MAX_LEN);
-        memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+        if (rev_layout) {
+            int8_t *dst = fwd_nt + n * stride;
+            for (int j = 0; j < fl; j++) dst[j] = r->fwd_nt[fl - 1 - j];
+            memset(dst + fl, 0, stride - fl);
+            dst = fwd_q + n * stride;
+            for (int j = 0; j < fl; j++) dst[j] = r->fwd_q[fl - 1 - j];
+            memcpy(dst + fl, r->fwd_q + fl, MAX_LEN - fl);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            dst = rev_nt + n * stride;
+            for (int j = 0; j < rl; j++) dst[j] = r->rev_nt[rl - 1 - j];
+            memset(dst + rl, 0, stride - rl);
+            dst = rev_q + n * stride;
+            for (int j = 0; j < rl; j++) dst[j] = r->rev_q[rl - 1 - j];
+            memcpy(dst + rl, r->rev_q + rl, MAX_LEN - rl);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            if (nt_pack != nullptr) {
+                int8_t *fp = fwd_nt + n * stride;
+                int8_t *rp = rev_nt + n * stride;
+                int8_t *pp = nt_pack + n * stride;
+                int mx = fl > rl ? fl : rl;
+                for (int j = 0; j < mx; j++)
+                    pp[j] = (int8_t) ((fp[j] & 0x0F)
+                                      | ((rp[j] & 0x0F) << 4));
+                memset(pp + mx, 0, stride - mx);
+            }
+        } else {
+            int8_t *dst = fwd_nt + n * stride;
+            memcpy(dst, r->fwd_nt, MAX_LEN);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            dst = fwd_q + n * stride;
+            memcpy(dst, r->fwd_q, MAX_LEN);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            dst = rev_nt + n * stride;
+            memcpy(dst, r->rev_nt, MAX_LEN);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            dst = rev_q + n * stride;
+            memcpy(dst, r->rev_q, MAX_LEN);
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+        }
         flen[n] = fl;
         rlen[n] = rl;
         fid.print(ids + n * id_stride, (int) id_stride);
@@ -550,6 +589,450 @@ void psq_primer_align(const int8_t *nt, const double *p, const double *np_,
             }
         }
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Host finalization v2 (select + reconstruct + quality + emit).
+//
+// The v2 device kernel (ops/fused2.py) ships only a top-SL shortlist of
+// overlap offsets with their exact integer match/mismatch counts; the
+// host re-derives every f64 decision the reference makes
+// (assembler.c:120-143 selection, 145-248 reconstruction) from those
+// integers and the reads it already holds, then emits output bytes —
+// the entire O(L) tail of the pipeline in one native pass per batch.
+//
+// Frames arrive REVERSED and left-aligned (see psq_next_batch): raw
+// base x of the forward read lives at row index flen-1-x; the stale
+// persistent-buffer qual bytes live raw at indices >= len (PEAR reads
+// them, algo_pear.c:52-54).
+// ---------------------------------------------------------------------
+
+namespace {
+
+enum AlgoId {
+    ALGO_COUNTS = 0,  // simple_bayesian / uparse shape
+    ALGO_EA = 1,
+    ALGO_FLASH = 2,
+    ALGO_STITCH = 3,
+    ALGO_PEAR = 4,
+    ALGO_RDP = 5,
+};
+
+enum CodeId {
+    CODE_OK = 0,
+    CODE_BADR = 1,
+    CODE_MODULE = 2,
+    CODE_NOFP = 3,
+    CODE_NORP = 4,
+    CODE_NOALGN = 5,
+    CODE_LOWQ = 6,
+};
+
+struct Frames {
+    const int8_t *fnt, *fq, *rnt, *rq;
+    int flen, rlen;
+    // raw-order accessors (x = raw base index)
+    inline int fwd_nt(int x) const { return fnt[flen - 1 - x] & 0x0F; }
+    inline int rev_nt(int x) const { return rnt[rlen - 1 - x] & 0x0F; }
+    inline int fwd_q(int x) const {
+        // stale persistent-buffer content lives raw at >= flen
+        return x < flen ? fq[flen - 1 - x] : fq[x];
+    }
+    inline int rev_q(int x) const {
+        return x < rlen ? rq[rlen - 1 - x] : rq[x];
+    }
+};
+
+inline int clamp46(int q) { return q < 0 ? 0 : (q > 46 ? 46 : q); }
+
+// exact f64 overlap score from integer counts (count-based algorithms;
+// formulas term-for-term from algo_simple_bayes.c:45-65,
+// algo_ea_util.c:49-55, algo_flash.c:52-61, algo_stitch.c:35-56)
+double score_from_counts(int algo, double pmatch, double pmismatch,
+                         double qual_nn, int flen, int rlen, int o,
+                         long m, long mm) {
+    long vlo = o - flen > 0 ? o - flen : 0;
+    long vhi = o < rlen ? o : rlen;
+    long valid = vhi - vlo > 0 ? vhi - vlo : 0;
+    long unk = valid - m - mm;
+    switch (algo) {
+    case ALGO_EA: {
+        double bad = (double) (mm + unk);
+        if (valid == 0) return HUGE_VAL;  // IEEE x/0 (algo_ea_util.c:55)
+        return log((bad * bad + 1.0) / (double) valid);
+    }
+    case ALGO_FLASH: {
+        if (valid == 0) return -2.0;
+        long ratio = (mm + unk) / valid;  // size_t division quirk
+        return ratio > 0 ? log((double) ratio) : -HUGE_VAL;
+    }
+    case ALGO_STITCH: {
+        uint64_t s = (uint64_t) (int64_t) (m - mm);  // uint64 wrap
+        double val = (double) s / (double) (flen + rlen);
+        return val > 0 ? log(val) : -HUGE_VAL;
+    }
+    default: {  // simple_bayesian / uparse
+        long nn_count = (o >= flen && o >= rlen)
+            ? unk : (long) flen + rlen - 2 * o + unk;
+        return qual_nn * (double) nn_count + (double) m * pmatch
+            + (double) mm * pmismatch;
+    }
+    }
+}
+
+// exact sequential f64 LUT sum (pear: algo_pear.c:44-58 incl. the
+// both-quals-from-fwd quirk; rdp_mle: algo_rdp_mle.c:58-72)
+double score_lut(int algo, const Frames &F, int o, const double *lut_m,
+                 const double *lut_mm, double nn_term, double qual_nn) {
+    (void) qual_nn;
+    double prob = 0.0;
+    for (int i = 0; i < o; i++) {
+        int findex = F.flen + i - o;
+        int rindex = F.rlen - i - 1;
+        if (findex < 0 || rindex < 0 || findex >= F.flen
+            || rindex >= F.rlen)
+            continue;
+        int f = F.fwd_nt(findex);
+        int r = F.rev_nt(rindex);
+        if (algo == ALGO_PEAR) {
+            if (f == 0x0F || r == 0x0F) {
+                prob += nn_term;  // == -random_base
+            } else {
+                int qa = clamp46(F.fwd_q(findex));
+                int qb = clamp46(F.fwd_q(rindex));  // fwd buffer quirk
+                prob += ((f & r) != 0 ? lut_m : lut_mm)[qa * 47 + qb];
+            }
+        } else {  // rdp_mle: no N special case
+            int qa = clamp46(F.fwd_q(findex));
+            int qb = clamp46(F.rev_q(rindex));
+            // per-element (LUT - qual_nn), algo_rdp_mle.c:64-71 — the
+            // caller bakes the subtraction into the tables it passes
+            prob += ((f & r) != 0 ? lut_m : lut_mm)[qa * 47 + qb];
+        }
+    }
+    return prob;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Primer location (offset.c:47-90) over a batch of REVERSED frames.
+// probs/notprobs are per-QUAL tables (QUAL_SCORE / QUAL_SCORE_ERR);
+// the A[s] alignment sums accumulate in ascending primer order — the
+// same f64 order as the reference's circular buffer — and the
+// check-index scan reproduces computeoffset()'s semantics including
+// the exp()/penalty comparison done in full double precision.
+void psq_compute_offsets(const int8_t *nt, const int8_t *q,
+                         const int32_t *len, long B, long stride,
+                         const int8_t *primer, long plen,
+                         double threshold, double penalty,
+                         const double *qual_score,
+                         const double *qual_score_err, int64_t *out) {
+    double bestpr0 = exp((double) plen * threshold);
+    double *A = (double *) malloc(sizeof(double) * (size_t) stride);
+    for (long b = 0; b < B; b++) {
+        int S = len[b];
+        if (plen > S) { out[b] = 0; continue; }
+        const int8_t *ntr = nt + b * stride;
+        const int8_t *qr = q + b * stride;
+        // A[s] = alignment sum for primer start s (raw coords), bases
+        // ascending; raw x reads reversed row S-1-x
+        for (int s = 0; s < S; s++) A[s] = 0.0;
+        for (int x = 0; x < plen; x++) {
+            int px = primer[x] & 0x0F;
+            if (px == 0x0F) continue;  // N contributes nothing
+            for (int s = 0; s + x < S; s++) {
+                int rawpos = s + x;
+                int nt4 = ntr[S - 1 - rawpos] & 0x0F;
+                int qq = clamp46(qr[S - 1 - rawpos]);
+                A[s] += (nt4 & px) ? qual_score[qq] : qual_score_err[qq];
+            }
+        }
+        double bestpr = bestpr0;
+        long bestindex = 0;
+        for (int index = 0; index < S; index++) {
+            int start = index - (int) plen;
+            double last_pr;
+            if (start < 0) {
+                // circular-buffer slot still -INFINITY: only penalty
+                last_pr = 0.0 - (double) index * penalty;
+            } else {
+                last_pr = exp(A[start] / (double) (index + 1))
+                    - (double) index * penalty;
+            }
+            if (last_pr > bestpr) {
+                bestpr = last_pr;
+                bestindex = index + 1;
+            }
+        }
+        out[b] = bestindex;
+    }
+    free(A);
+}
+
+// Batch finalization. plane is the device shortlist [B, W] int32 with
+// W = 2*SL + 4 (see ops/fused2.py). fmt: 0 = arrays only (general
+// path), 1 = FASTA payload, 2 = FASTQ payload. Returns payload length
+// (0 when fmt == 0), or -1 if payload_cap would overflow.
+long psq_finalize(
+    const int8_t *fr_nt, const int8_t *fr_q, const int8_t *rr_nt,
+    const int8_t *rr_q, const int32_t *flen_a, const int32_t *rlen_a,
+    const int32_t *fo_a, const int32_t *ro_a, const uint8_t *skip,
+    long B, long stride, const int32_t *plane, long W, long SL,
+    const uint8_t *fb_mask, const int32_t *fb_besto,
+    const uint8_t *fb_aligned, const double *fb_best,
+    int algo_id, double pmatch, double pmismatch, double qual_nn,
+    double nn_term, const double *lut_m, const double *lut_mm,
+    int minoverlap, int maxoverlap_cfg, double threshold,
+    const double *ptbl, const uint8_t *phtbl,
+    int fmt, const char *ids, long id_stride,
+    uint8_t *codes, int32_t *osc, double *oqual, double *obest,
+    uint8_t *ascii_out, int16_t *pidx_out, long L2cap,
+    uint8_t *payload, long payload_cap,
+    int64_t *counters, int64_t *hist, long hist_cap) {
+    // counters layout: [ok, lowq, noalgn, badread, nofp, norp, slow]
+    long plen_out = 0;
+    const char NT_A[17] = "NACMGRSVTWYHKDBN";
+    static const int POPCNT4[16] = {0, 1, 1, 2, 1, 2, 2, 3,
+                                    1, 2, 2, 3, 2, 3, 3, 4};
+    int16_t pidx_buf_local[2 * MAX_LEN + 8];
+    uint8_t ascii_buf_local[2 * MAX_LEN + 8];
+    for (long b = 0; b < B; b++) {
+        int32_t *oscr = osc + b * 6;
+        oscr[0] = 0; oscr[1] = 0; oscr[2] = 0; oscr[3] = 0;
+        oscr[4] = 0; oscr[5] = 0;
+        oqual[b] = 0.0;
+        obest[b] = 0.0;
+        int sk = skip[b];
+        if (sk) {
+            switch (sk) {
+            case 1: case 3:
+                codes[b] = CODE_BADR;
+                if (fmt) counters[3]++;
+                break;
+            case 2: codes[b] = CODE_MODULE; break;
+            case 4:
+                codes[b] = CODE_NOFP;
+                if (fmt) counters[4]++;
+                break;
+            case 5:
+                codes[b] = CODE_NORP;
+                if (fmt) counters[5]++;
+                break;
+            default:
+                codes[b] = CODE_NOALGN;  // negs (assembler.c:124,150)
+                if (fmt) counters[2]++;
+                break;
+            }
+            continue;
+        }
+        Frames F{fr_nt + b * stride, fr_q + b * stride,
+                 rr_nt + b * stride, rr_q + b * stride,
+                 flen_a[b], rlen_a[b]};
+        int fo = fo_a[b], ro = ro_a[b];
+        const int32_t *row = plane + b * W;
+        long examined = row[2 * SL + 1];
+        // slow: every overlap in range examined (assembler.c:136)
+        long maxo = (long) F.flen + F.rlen - minoverlap - fo - ro - 1;
+        if (maxoverlap_cfg == 0) {
+            long mn = F.flen < F.rlen ? F.flen : F.rlen;
+            maxo = maxo < mn ? maxo : mn;
+        } else if (maxo > maxoverlap_cfg) {
+            maxo = maxoverlap_cfg;
+        }
+        bool slow = examined == maxo - minoverlap + 1;
+        if (slow) {
+            oscr[5] |= 2;
+            if (fmt) counters[6]++;
+        }
+        oscr[4] = (int32_t) examined;
+
+        // ---- selection: exact f64 first-strict-max over the
+        // shortlist, ascending o (assembler.c:125-134) ----
+        double floorv = qual_nn * (double) (F.flen + F.rlen);
+        double best = floorv;
+        long besto = -1;
+        if (fb_mask[b]) {
+            if (fb_aligned[b]) {
+                besto = fb_besto[b];
+                best = fb_best[b];
+            }
+        } else {
+            // collect (o, m, mm), sort ascending o (<= SL entries)
+            int n = 0;
+            long oo[32], mv[32], mmv[32];
+            for (long s = 0; s < SL; s++) {
+                int32_t p = row[s];
+                if (p == 0) continue;
+                oo[n] = p & 0x3FF;
+                mv[n] = (p >> 10) & 0x3FF;
+                mmv[n] = (p >> 20) & 0x3FF;
+                n++;
+            }
+            for (int i2 = 1; i2 < n; i2++) {  // insertion sort by o
+                long ko = oo[i2], km = mv[i2], km2 = mmv[i2];
+                int j2 = i2 - 1;
+                while (j2 >= 0 && oo[j2] > ko) {
+                    oo[j2 + 1] = oo[j2]; mv[j2 + 1] = mv[j2];
+                    mmv[j2 + 1] = mmv[j2]; j2--;
+                }
+                oo[j2 + 1] = ko; mv[j2 + 1] = km; mmv[j2 + 1] = km2;
+            }
+            for (int s = 0; s < n; s++) {
+                double pr;
+                if (algo_id == ALGO_PEAR || algo_id == ALGO_RDP)
+                    pr = score_lut(algo_id, F, (int) oo[s], lut_m,
+                                   lut_mm, nn_term, qual_nn);
+                else
+                    pr = score_from_counts(algo_id, pmatch, pmismatch,
+                                           qual_nn, F.flen, F.rlen,
+                                           (int) oo[s], mv[s], mmv[s]);
+                if (pr > best && oo[s] >= minoverlap) {
+                    best = pr;
+                    besto = oo[s];
+                }
+            }
+        }
+        if (besto == -1) {
+            codes[b] = CODE_NOALGN;
+            if (fmt) counters[2]++;
+            continue;
+        }
+        long length = (long) F.flen - fo - besto + F.rlen - ro + 1;
+        if (length <= 0 || length > 2 * MAX_LEN) {
+            // NEGS / OOM both surface as NOALGN (assembler.c:293-299)
+            codes[b] = CODE_NOALGN;
+            if (fmt) counters[2]++;
+            continue;
+        }
+        obest[b] = best;
+        oscr[0] = (int32_t) besto;
+        oscr[5] |= 1;  // scored (align succeeded)
+
+        // ---- reconstruction (assembler.c:145-248) ----
+        long df = F.flen - fo - besto;
+        long dr = F.rlen - ro - besto;
+        long veez_df = df > 0 ? df : 0;
+        long wedge_df = df < 0 ? df : 0;
+        long wedge_dr = dr < 0 ? dr : 0;
+        long seq_len = length - 1;
+        int16_t *pidx = pidx_out ? pidx_out + b * L2cap : pidx_buf_local;
+        uint8_t *asc = ascii_out ? ascii_out + b * L2cap
+                                 : ascii_buf_local;
+        long degen = 0, ovl_mm = 0;
+        double fsum = 0.0, osum = 0.0, rsum = 0.0;
+        // unpaired forward copy (assembler.c:162-173)
+        for (long i = 0; i < veez_df; i++) {
+            long findex = i + fo;
+            int fbits = F.fwd_nt((int) findex);
+            int fq = clamp46(F.fwd_q((int) findex));
+            pidx[i] = (int16_t) (1 * 2209 + fq * 47);
+            asc[i] = (uint8_t) NT_A[fbits];
+            fsum += ptbl[1 * 2209 + fq * 47];
+            if (POPCNT4[fbits] != 1) degen++;
+        }
+        // B-cliff unmasked lengths (assembler.c:176-177); reversed
+        // frame: trailing q==2 run is a LEADING run here
+        int uf = F.flen, ur = F.rlen;
+        {
+            const int8_t *p = F.fq;
+            int k = 0;
+            while (uf > 0 && p[k] == 2) { uf--; k++; }
+            const int8_t *p2 = F.rq;
+            k = 0;
+            while (ur > 0 && p2[k] == 2) { ur--; k++; }
+        }
+        // overlap merge (assembler.c:180-228)
+        for (long i = 0; i < besto + wedge_df + wedge_dr; i++) {
+            long index = veez_df + i;
+            long findex = fo + veez_df + i;
+            long rindex = F.rlen - i - 1 + wedge_df;
+            if (index < 0 || findex < 0 || rindex < 0
+                || findex >= F.flen || rindex >= F.rlen) {
+                // hole: nt 0 ('N'), p 0.0, no quality contribution
+                pidx[index] = 0;
+                asc[index] = (uint8_t) NT_A[0];
+                continue;
+            }
+            int f = F.fwd_nt((int) findex);
+            int r = F.rev_nt((int) rindex);
+            bool ismatch = (f & r) != 0;
+            if (!ismatch) ovl_mm++;
+            bool fmask = findex >= uf;
+            bool rmask = rindex >= ur;
+            int fq = clamp46(F.fwd_q((int) findex));
+            int rq = clamp46(F.rev_q((int) rindex));
+            int cse;
+            if (fmask && rmask) cse = 5;
+            else if (fmask) cse = 6;
+            else if (rmask) cse = 7;
+            else cse = ismatch ? 3 : 4;
+            int nt4 = ismatch
+                ? (f & r)
+                : (F.fwd_q((int) findex) < F.rev_q((int) rindex) ? r
+                                                                 : f);
+            int pi = cse * 2209 + fq * 47 + rq;
+            pidx[index] = (int16_t) pi;
+            asc[index] = (uint8_t) NT_A[nt4];
+            osum += ptbl[pi];
+            if (POPCNT4[nt4] != 1) degen++;
+        }
+        // unpaired reverse copy (assembler.c:231-243)
+        for (long i = 0; i < (dr > 0 ? dr : 0); i++) {
+            long index = df + besto + i;
+            long rindex = F.rlen - besto - i - 1;
+            int rbits = F.rev_nt((int) rindex);
+            int rq = clamp46(F.rev_q((int) rindex));
+            pidx[index] = (int16_t) (2 * 2209 + rq);
+            asc[index] = (uint8_t) NT_A[rbits];
+            rsum += ptbl[2 * 2209 + rq];
+            if (POPCNT4[rbits] != 1) degen++;
+        }
+        double quality = (fsum + rsum + osum) / (double) length;
+        oqual[b] = quality;
+        oscr[1] = (int32_t) seq_len;
+        oscr[2] = (int32_t) degen;
+        oscr[3] = (int32_t) ovl_mm;
+        if (fmt == 0) {
+            codes[b] = CODE_OK;  // caller applies threshold/modules
+            continue;
+        }
+        if (quality < threshold) {
+            codes[b] = CODE_LOWQ;
+            counters[1]++;
+            continue;
+        }
+        codes[b] = CODE_OK;
+        counters[0]++;
+        if (besto >= 0 && besto < hist_cap) hist[besto]++;
+        if (seq_len == 0) continue;  // counted, no bytes (output.c:89-91)
+        // ---- emit (output.c:64-112 fast path) ----
+        const char *sid = ids + b * id_stride;
+        long sidlen = (long) strlen(sid);
+        long need = 1 + sidlen + 1 + 32 + 1 + seq_len + 1
+            + (fmt == 2 ? seq_len + 3 : 0);
+        if (plen_out + need > payload_cap) return -1;
+        uint8_t *w = payload + plen_out;
+        *w++ = fmt == 2 ? '@' : '>';
+        memcpy(w, sid, sidlen);
+        w += sidlen;
+        *w++ = ';';
+        w += sprintf((char *) w, "%f", exp(quality));
+        *w++ = '\n';
+        memcpy(w, asc, seq_len);
+        w += seq_len;
+        if (fmt == 2) {
+            *w++ = '\n'; *w++ = '+'; *w++ = '\n';
+            for (long j = 0; j < seq_len; j++)
+                *w++ = phtbl[(uint16_t) pidx[j]];
+        }
+        *w++ = '\n';
+        plen_out = w - payload;
+    }
+    return plen_out;
 }
 
 }  // extern "C"

@@ -67,7 +67,29 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.psq_compute_offsets.restype = None
+    lib.psq_compute_offsets.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_double,
+        ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.psq_finalize.restype = ctypes.c_long
+    lib.psq_finalize.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,                                     # skip
+        ctypes.c_long, ctypes.c_long,                        # B, stride
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,       # plane, W, SL
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p,                    # ptbl, phtbl
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long,        # fmt, ids
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,     # ascii,pidx,L2
+        ctypes.c_void_p, ctypes.c_long,                      # payload
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]     # counters,hist
     lib.psq_stream_flags.restype = ctypes.c_int
     lib.psq_stream_flags.argtypes = [ctypes.c_void_p]
     lib.psq_close.argtypes = [ctypes.c_void_p]
@@ -117,6 +139,110 @@ def quality(seq: np.ndarray, ptbl: np.ndarray,
     return out
 
 
+def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty):
+    """Native panda_compute_offset batch (offset.c:47-90) over REVERSED
+    frames; returns int64 bestindex per read (0 = no primer found), or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..tables import QUAL_SCORE, QUAL_SCORE_ERR
+    nt_rev = np.ascontiguousarray(nt_rev, dtype=np.int8)
+    q_rev = np.ascontiguousarray(q_rev, dtype=np.int8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    primer = np.ascontiguousarray(primer, dtype=np.int8)
+    qs = np.ascontiguousarray(QUAL_SCORE, dtype=np.float64)
+    qe = np.ascontiguousarray(QUAL_SCORE_ERR, dtype=np.float64)
+    B, S = nt_rev.shape
+    out = np.empty(B, dtype=np.int64)
+    lib.psq_compute_offsets(
+        nt_rev.ctypes.data, q_rev.ctypes.data, lens.ctypes.data, B, S,
+        primer.ctypes.data, len(primer), float(threshold), float(penalty),
+        qs.ctypes.data, qe.ctypes.data, out.ctypes.data)
+    return out
+
+
+# psq_finalize verdict code ids
+FIN_CODES = ["OK", "BADR", "MODULE", "NOFP", "NORP", "NOALGN", "LOWQ"]
+
+
+def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,
+             ptbl, phtbl, fmt, want_arrays=False, L2cap=928,
+             payload_buf=None):
+    """One native pass: exact f64 selection from the device shortlist,
+    reconstruction, quality, and (fmt 1=fasta / 2=fastq) payload bytes.
+    Returns dict with codes/osc/quality/best/payload(+ascii/pidx).
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(batch.sids)
+    stride = batch.fwd_nt.shape[1]
+    plane = np.ascontiguousarray(plane, dtype=np.int32)
+    W = plane.shape[1]
+    fb_mask, fb_besto, fb_aligned, fb_best = fb
+    codes = np.zeros(B, dtype=np.uint8)
+    osc = np.zeros((B, 6), dtype=np.int32)
+    oqual = np.zeros(B, dtype=np.float64)
+    obest = np.zeros(B, dtype=np.float64)
+    counters = np.zeros(8, dtype=np.int64)
+    hist = np.zeros(1024, dtype=np.int64)
+    if want_arrays:
+        ascii_out = np.zeros((B, L2cap), dtype=np.uint8)
+        pidx_out = np.zeros((B, L2cap), dtype=np.int16)
+        a_ptr, p_ptr = ascii_out.ctypes.data, pidx_out.ctypes.data
+    else:
+        ascii_out = pidx_out = None
+        a_ptr = p_ptr = None
+    if fmt:
+        cap = B * (ID_STRIDE + 2 * 928 + 64)
+        if payload_buf is None or payload_buf.nbytes < cap:
+            payload_buf = np.empty(cap, dtype=np.uint8)
+    else:
+        payload_buf = np.empty(1, dtype=np.uint8)
+    ids = batch.ids_bytes()
+    lm, lmm = algo_params["lut_m"], algo_params["lut_mm"]
+    # keep every converted array alive in locals for the call duration
+    # (.ctypes.data alone does NOT hold a reference)
+    flen32 = np.ascontiguousarray(batch.flen, np.int32)
+    rlen32 = np.ascontiguousarray(batch.rlen, np.int32)
+    fo32 = np.ascontiguousarray(fo, np.int32)
+    ro32 = np.ascontiguousarray(ro, np.int32)
+    skip8 = np.ascontiguousarray(skip, np.uint8)
+    fbm8 = np.ascontiguousarray(fb_mask, np.uint8)
+    fbo32 = np.ascontiguousarray(fb_besto, np.int32)
+    fba8 = np.ascontiguousarray(fb_aligned, np.uint8)
+    fbb64 = np.ascontiguousarray(fb_best, np.float64)
+    n = lib.psq_finalize(
+        batch.fwd_nt.ctypes.data, batch.fwd_q.ctypes.data,
+        batch.rev_nt.ctypes.data, batch.rev_q.ctypes.data,
+        flen32.ctypes.data, rlen32.ctypes.data,
+        fo32.ctypes.data, ro32.ctypes.data,
+        skip8.ctypes.data,
+        B, stride, plane.ctypes.data, W, SL,
+        fbm8.ctypes.data, fbo32.ctypes.data,
+        fba8.ctypes.data, fbb64.ctypes.data,
+        int(algo_params["algo_id"]), float(algo_params["pmatch"]),
+        float(algo_params["pmismatch"]), float(algo_params["qual_nn"]),
+        float(algo_params["nn_term"]),
+        lm.ctypes.data if lm is not None else None,
+        lmm.ctypes.data if lmm is not None else None,
+        int(cfg_params["minoverlap"]), int(cfg_params["maxoverlap"]),
+        float(cfg_params["threshold"]),
+        ptbl.ctypes.data, phtbl.ctypes.data,
+        int(fmt), ids.ctypes.data, ids.shape[1],
+        codes.ctypes.data, osc.ctypes.data, oqual.ctypes.data,
+        obest.ctypes.data, a_ptr, p_ptr, L2cap,
+        payload_buf.ctypes.data, payload_buf.nbytes,
+        counters.ctypes.data, hist.ctypes.data, 1024)
+    if n < 0:
+        raise RuntimeError("psq_finalize payload overflow")
+    return dict(codes=codes, osc=osc, quality=oqual, best=obest,
+                payload=bytes(payload_buf[:n]) if fmt else b"",
+                counters=counters, hist=hist, ascii=ascii_out,
+                pidx=pidx_out)
+
+
 class IdStr(str):
     """Canonical id string that quacks like SeqId where modules need it."""
 
@@ -127,9 +253,18 @@ class IdStr(str):
         return self.rsplit(":", 1)[1]
 
 
+def _derev(row, n):
+    """Raw-order view of a REVERSED frame row: bases 0..n-1 reversed,
+    tail (stale persistent-buffer bytes / zeros) kept in place."""
+    out = np.empty_like(row)
+    out[:n] = row[:n][::-1]
+    out[n:] = row[n:]
+    return out
+
+
 class _PairView:
-    """Lazy per-pair view over batch rows (for prechecks / oracle
-    fallback / fail output)."""
+    """Lazy per-pair RAW-ORDER view over (reversed-frame) batch rows —
+    for prechecks / oracle fallback / fail output."""
 
     __slots__ = ("_b", "_i")
 
@@ -143,19 +278,19 @@ class _PairView:
 
     @property
     def fwd_nt(self):
-        return self._b.fwd_nt[self._i]
+        return _derev(self._b.fwd_nt[self._i], self.flen)
 
     @property
     def fwd_q(self):
-        return self._b.fwd_q[self._i]
+        return _derev(self._b.fwd_q[self._i], self.flen)
 
     @property
     def rev_nt(self):
-        return self._b.rev_nt[self._i]
+        return _derev(self._b.rev_nt[self._i], self.rlen)
 
     @property
     def rev_q(self):
-        return self._b.rev_q[self._i]
+        return _derev(self._b.rev_q[self._i], self.rlen)
 
     @property
     def flen(self):
@@ -226,12 +361,14 @@ class NativeBatchReader:
         flen = np.zeros(B, dtype=np.int32)
         rlen = np.zeros(B, dtype=np.int32)
         ids = np.zeros((B, ID_STRIDE), dtype=np.uint8)
+        nt_pack = np.zeros((B, L), dtype=np.int8)
         err = ctypes.c_int32(0)
         n = self.lib.psq_next_batch(
             self.h, B, L,
             fwd_nt.ctypes.data, fwd_q.ctypes.data, rev_nt.ctypes.data,
             rev_q.ctypes.data, flen.ctypes.data, rlen.ctypes.data,
-            ids.ctypes.data, ID_STRIDE, ctypes.byref(err))
+            ids.ctypes.data, ID_STRIDE, ctypes.byref(err), 1,
+            nt_pack.ctypes.data)
         flags = self.lib.psq_stream_flags(self.h)
         self.seen_under_64 = bool(flags & 1)
         self.non_empty = bool(flags & 2)
@@ -245,10 +382,13 @@ class NativeBatchReader:
             rev_nt, rev_q = rev_nt[:n], rev_q[:n]
             flen, rlen = flen[:n], rlen[:n]
             ids = ids[:n]
+            nt_pack = nt_pack[:n]
         sids = [IdStr(bytes(row).split(b"\0", 1)[0].decode())
                 for row in ids]
         b = Batch(sids, fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, None)
         b.pairs = _LazyViews(b)
+        b._ids_buf = ids
+        b._nt_pack = nt_pack
         return b
 
     def close(self):

@@ -1,0 +1,410 @@
+"""Fused device step v2: shortlist-only output for a thin wire.
+
+The v1 kernel reconstructed the merged sequence on device and shipped a
+[B, O + L2 + 4] int32 plane (~3.6 KB/pair) to the host. The
+device->host wire is the system bottleneck (PCIe on real deployments,
+worse on the development tunnel), so v2 inverts the split: the device
+does only the O(L^2) work — all-overlap integer counts, k-mer candidate
+seeding, f32 scoring, winner + top-SL shortlist — and ships ~80 B/pair.
+The host, which already holds the reads it just uploaded, re-derives
+the exact f64 winner from the shortlisted integer counts and performs
+the O(L) reconstruction/quality/emission in native code
+(native/psq_io.cpp:psq_finalize).
+
+Exactness contract (why the shortlist suffices):
+  * every count-based algorithm's f32 score is an exact-integer linear
+    form evaluated in f32, so |f32 - f64| << BAND for every offset;
+  * any offset whose f32 score is within BAND of the f32 maximum is a
+    possible f64 winner; any offset outside the band provably loses in
+    f64 too;
+  * the kernel ships the top-SL offsets by f32 score (ties broken
+    toward the smaller offset, matching the reference's ascending
+    strict-> loop, assembler.c:131-134) plus ``n_band``, the count of
+    offsets inside the band. n_band <= SL ==> the shortlist contains
+    the band, hence the exact winner; otherwise (requires > SL
+    near-ties) the host replays the pair through the numpy oracle.
+  * pear/rdp_mle score per-base f64 LUT sums; their f32 sums carry
+    reduction error, so their BAND is wider and the host re-scores
+    every shortlisted offset with the exact sequential f64 loop.
+  * stitch's wrapped scores (algo_stitch.c:40-56 uint64 quirk) are all
+    exactly equal in f64, so when any offset wraps the first wrapped
+    offset wins outright and n_band is reported as 1.
+
+Frame layout: inputs arrive REVERSED and left-aligned — frame position
+j' of the forward read holds base flen-1-j' (and i of the reverse read
+holds base rlen-1-i). The host decoder emits this layout directly,
+which removes every per-pair alignment gather from the device graph:
+overlap o pairs forward frame row j' with reverse frame row i exactly
+on the diagonal o = j' + i + 1 (derivation: the reference pairs
+findex = flen+i-o with rindex = rlen-1-i, algo_simple_bayes.c:46-47;
+substituting j' = flen-1-findex gives o = j'+i+1), and both k-mer
+streams (misc.h:41-43) become uniform window reductions.
+
+The helpers below are composable so the explicitly sharded multi-chip
+step (parallel/shard.py) runs the IDENTICAL math with the overlap-plane
+rows split across an "op" mesh axis (partial diagonal sums are exact
+integers, so a psum reassembles them exactly).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+
+KMER_LEN = 8  # misc.h:33
+
+# 2-bit k-mer packing: T=3, G=2, C=1, everything else 0 (misc.h:41)
+_KCODE = np.zeros(16, dtype=np.int32)
+_KCODE[8], _KCODE[4], _KCODE[2] = 3, 2, 1
+
+# f32-vs-f64 shortlist bands (see module docstring)
+BAND_COUNTS = 0.01
+BAND_LUT = 0.05
+SHORTLIST = 8
+
+
+def _window9_trail(nonn, L):
+    """all-non-N over the trailing window p-8..p (reverse-read emission
+    gate: FOREACH_KMER_REVERSE emits once 9 consecutive non-N bases
+    have been visited, misc.h:43 + assembler.c:103-109)."""
+    cs = jnp.cumsum(nonn.astype(jnp.int32), axis=1)
+    cs_pad = jnp.pad(cs, ((0, 0), (9, 0)))[:, :L]  # cs[p-9], 0 for p<9
+    return (cs - cs_pad) == 9
+
+
+def _window9_lead(nonn, L):
+    """all-non-N over the leading window p..p+8 (forward-read emission
+    gate seen from the reversed frame)."""
+    cs = jnp.cumsum(nonn.astype(jnp.int32), axis=1)
+    hi = jnp.pad(cs, ((0, 0), (0, 9)))[:, 8:8 + L]  # cs[p+8]
+    lo = jnp.pad(cs, ((0, 0), (1, 0)))[:, :L]  # cs[p-1]
+    return (hi - lo) == 9
+
+
+def _kmer_trail(codes, L):
+    """k[p] = sum_t codes[p-t] << 2t — the FOREACH_KMER_REVERSE value
+    at reversed-frame position p."""
+    k = jnp.zeros_like(codes)
+    for t in range(KMER_LEN):
+        k = k | (jnp.pad(codes, ((0, 0), (t, 0)))[:, :L] << (2 * t))
+    return k
+
+
+def _kmer_lead(codes, L):
+    """k[p] = sum_t codes[p+t] << 2t — the FOREACH_KMER value at
+    reversed-frame position p."""
+    k = jnp.zeros_like(codes)
+    for t in range(KMER_LEN):
+        k = k | (jnp.pad(codes, ((0, 0), (0, t)))[:, t:t + L] << (2 * t))
+    return k
+
+
+def kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers):
+    """K-mer seeding (assembler.c:91-118, misc.h:32-45) on reversed
+    frames. Returns (Fkm, Rkm): per-position k-mer values, -1/-2 where
+    not emitted/stored (distinct sentinels so Fkm == Rkm never matches
+    on non-emissions)."""
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    cf = jnp.asarray(_KCODE)[nt_f]
+    cr = jnp.asarray(_KCODE)[nt_r]
+    kf = _kmer_lead(cf, L)
+    kr = _kmer_trail(cr, L)
+    nonn_f = nt_f != 0x0F
+    nonn_r = nt_r != 0x0F
+    # forward emits at raw fp >= 8 with fp-8..fp non-N: frame j' has
+    # window j'..j'+8 and gate j' <= flen-9
+    emit_f = _window9_lead(nonn_f, L) & (pos <= flen[:, None] - 9)
+    # reverse emits at raw pr with pr..pr+8 non-N and pr+8 < rlen:
+    # frame i has window i-8..i and gates i >= 8, i < rlen
+    emit_r = (_window9_trail(nonn_r, L) & (pos >= KMER_LEN)
+              & (pos < rlen[:, None]))
+    if num_kmers == 0:
+        # -k 0: empty kmerseen table -> every probe misses ->
+        # ALL_BITS_IF_NONE examines every overlap
+        stored_f = jnp.zeros_like(emit_f)
+    else:
+        # kmerseen keeps only the first num_kmers occurrences in RAW
+        # order (ascending fp = DESCENDING frame j'): rank = count of
+        # same-k-mer emissions at strictly later frame positions
+        eq = (kf[:, :, None] == kf[:, None, :]) & emit_f[:, None, :]
+        later = pos[:, :, None] < pos[:, None, :]
+        rank = jnp.sum((eq & later).astype(jnp.int8), axis=2,
+                       dtype=jnp.int32)
+        stored_f = emit_f & (rank < num_kmers)
+    Fkm = jnp.where(stored_f, kf, -1)
+    Rkm = jnp.where(emit_r, kr, -2)
+    return Fkm, Rkm
+
+
+def _diag_t3(O, j0, Oj, dtype):
+    """T3[jl, i, d] = 1 iff (j0 + jl) + i == d — the diagonal-reduction
+    indicator for plane rows j0..j0+Oj-1, built from iotas (j0 may be a
+    traced per-shard offset)."""
+    jl = jnp.arange(Oj, dtype=jnp.int32)[:, None, None]
+    i = jnp.arange(O, dtype=jnp.int32)[None, :, None]
+    d = jnp.arange(O, dtype=jnp.int32)[None, None, :]
+    return ((j0 + jl + i) == d).astype(dtype)
+
+
+def plane_counts(nt_f, nt_r, Fkm, Rkm, O, j0=0, Oj=None):
+    """Exact integer diagonal sums for plane rows j' in [j0, j0+Oj):
+    matches m, unknowns unk, k-mer candidate hits candc — each [B, O]
+    int32, summed over this row block only. The diagonal reduction is
+    ONE int8 dot_general on the MXU (sums <= 450 so int32 is exact);
+    row-partial sums are exact integers, so sharded blocks psum to the
+    full-plane result bit-for-bit."""
+    B = nt_f.shape[0]
+    if Oj is None:
+        Oj = O
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j0, Oj, axis=1)
+    f = sl(nt_f)[:, :, None]
+    r = nt_r[:, None, :O]
+    f_pad = f == 0
+    r_pad = r == 0
+    n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
+    match = ((f & r) != 0) & ~n_mask
+    kq = sl(Fkm)[:, :, None] == Rkm[:, None, :O]
+    planes = jnp.concatenate(
+        [match.astype(jnp.int8), n_mask.astype(jnp.int8),
+         kq.astype(jnp.int8)], axis=0)  # [3B, Oj, O]
+    T3 = _diag_t3(O, j0, Oj, jnp.int8)
+    sums = jax.lax.dot_general(
+        planes, T3, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32)  # [3B, O]
+    return sums[:B], sums[B:2 * B], sums[2 * B:]
+
+
+def lut_plane_sums(fr_q, rr_q, nt_f, nt_r, flen, rlen, L, O, algo_kind,
+                   lut_match, lut_mismatch, nn_term, j0=0, Oj=None):
+    """f32 per-base LUT score sums for every overlap (pear/rdp_mle),
+    over plane rows [j0, j0+Oj): one-hot MXU matmuls against the 47x47
+    tables + f32 diagonal reduction. Precision.HIGHEST throughout — a
+    single-pass bf16 matmul would lose ~8 mantissa bits and break the
+    shortlist band."""
+    if Oj is None:
+        Oj = O
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j0, Oj, axis=1)
+    qf = sl(fr_q.astype(jnp.int32))  # fwd qual at frame j'
+    if algo_kind == "pear":
+        # quirk: BOTH quals from the fwd buffer (algo_pear.c:52-54);
+        # raw index rlen-1-i reads reversed content below flen, stale
+        # persistent-buffer content at/above flen
+        x = rlen[:, None] - 1 - jnp.arange(O, dtype=jnp.int32)[None, :]
+        idx = jnp.where(x < flen[:, None], flen[:, None] - 1 - x, x)
+        q2 = jnp.take_along_axis(
+            fr_q.astype(jnp.int32), jnp.clip(idx, 0, L - 1), axis=1)
+    else:
+        q2 = rr_q.astype(jnp.int32)[:, :O]
+    f = sl(nt_f)[:, :, None]
+    r = nt_r[:, None, :O]
+    f_pad = f == 0
+    r_pad = r == 0
+    n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
+    match = ((f & r) != 0) & ~n_mask
+    OHf = jax.nn.one_hot(jnp.clip(qf, 0, 46), 47, dtype=jnp.float32)
+    OH2 = jax.nn.one_hot(jnp.clip(q2, 0, 46), 47, dtype=jnp.float32)
+    Tm = jnp.asarray(lut_match, dtype=jnp.float32)
+    Tmm = jnp.asarray(lut_mismatch, dtype=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    mv = jnp.einsum("bjc,cd,bid->bji", OHf, Tm, OH2, precision=hp)
+    mmv = jnp.einsum("bjc,cd,bid->bji", OHf, Tmm, OH2, precision=hp)
+    if algo_kind == "pear":
+        contrib = jnp.where(n_mask, jnp.float32(nn_term),
+                            jnp.where(match, mv, mmv))
+    else:
+        # rdp_mle has no N special case (algo_rdp_mle.c:64-71): N
+        # positions take the mismatch value (f & r == 0 there)
+        contrib = jnp.where(match, mv, mmv)
+    contrib = jnp.where(f_pad | r_pad, jnp.float32(0), contrib)
+    T3f = _diag_t3(O, j0, Oj, jnp.float32)
+    return jax.lax.dot_general(
+        contrib, T3f, (((1, 2), (0, 1)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32)  # [B, O]
+
+
+def shortlist_from_counts(m, unk, candc, lutsum, flen, rlen, fo, ro, *,
+                          O, SL, minoverlap, maxoverlap, algo_kind,
+                          pmatch, pmismatch, nn, band):
+    """f32 scoring + candidate-range rules + winner/top-SL packing from
+    the (full-plane) integer count sums. Returns [B, 2*SL + 4] int32
+    (layout in assemble_shortlist's docstring)."""
+    o2 = jnp.arange(1, O + 1, dtype=jnp.int32)[None, :]
+    nvalid = jnp.maximum(
+        0, jnp.minimum(o2, rlen[:, None])
+        - jnp.maximum(0, o2 - flen[:, None]))  # [B, O]
+    mm = nvalid - m - unk
+
+    # candidate range (assembler.c:73-84,118)
+    maxo = flen + rlen - minoverlap - fo - ro - 1
+    if maxoverlap == 0:
+        maxo = jnp.minimum(maxo, jnp.minimum(flen, rlen))
+    else:
+        maxo = jnp.minimum(maxo, maxoverlap)
+    in_range = (o2 >= minoverlap) & (o2 <= maxo[:, None])
+    cand_in = (candc != 0) & in_range
+    none_found = ~jnp.any(cand_in, axis=1)
+    cand_in = jnp.where(none_found[:, None], in_range, cand_in)
+    examined = jnp.sum(cand_in, axis=1, dtype=jnp.int32)
+
+    # f32 scores: each branch mirrors its f64 formula's edge cases so
+    # +/-inf appears on identical offsets on both sides
+    wrapped = None
+    if algo_kind in ("pear", "rdp_mle"):
+        scores = lutsum
+    elif algo_kind == "ea_util":
+        bad = (mm + unk).astype(jnp.float32)  # algo_ea_util.c:49-55
+        scores = jnp.log((bad * bad + 1.0)
+                         / jnp.maximum(nvalid, 1).astype(jnp.float32))
+    elif algo_kind == "flash":
+        ratio = (mm + unk) // jnp.maximum(nvalid, 1)  # int division quirk
+        scores = jnp.where(
+            nvalid == 0, jnp.float32(-2.0),
+            jnp.where(ratio > 0, jnp.log(ratio.astype(jnp.float32)),
+                      -jnp.inf))
+    elif algo_kind == "stitch":
+        # uint64 wrap (algo_stitch.c:40-56): all wrapped scores round to
+        # the same f64, so the FIRST wrapped offset wins; +60 (> any
+        # log of a <= 1 ratio) reproduces that under first-index ties
+        diff = m - mm
+        pos_s = jnp.log(jnp.maximum(diff.astype(jnp.float32), 1e-30)
+                        / (flen + rlen)[:, None].astype(jnp.float32))
+        scores = jnp.where(diff > 0, pos_s,
+                           jnp.where(diff < 0, jnp.float32(60.0),
+                                     -jnp.inf))
+        wrapped = (diff < 0) & cand_in
+    else:  # simple_bayesian / uparse shape (algo_simple_bayes.c:45-65)
+        tail = (o2 < flen[:, None]) | (o2 < rlen[:, None])
+        nn_count = jnp.where(tail,
+                             flen[:, None] + rlen[:, None] - 2 * o2 + unk,
+                             unk)
+        scores = (jnp.float32(nn) * nn_count.astype(jnp.float32)
+                  + m.astype(jnp.float32) * jnp.float32(pmatch)
+                  + mm.astype(jnp.float32) * jnp.float32(pmismatch))
+
+    scores = jnp.where(cand_in, scores, -jnp.inf)
+    besto32 = jnp.argmax(scores, axis=1).astype(jnp.int32) + 1
+    best32 = jnp.max(scores, axis=1)
+
+    in_band = (cand_in & jnp.isfinite(scores)
+               & (scores >= best32[:, None] - jnp.float32(band)))
+    n_band = jnp.sum(in_band, axis=1, dtype=jnp.int32)
+    if wrapped is not None:
+        n_band = jnp.where(jnp.any(wrapped, axis=1), 1, n_band)
+
+    topv, topi = jax.lax.top_k(scores, SL)  # ties -> lower index
+    gat = lambda x: jnp.take_along_axis(x, topi, axis=1)
+    live = topv > -jnp.inf
+    packed = jnp.where(
+        live, (topi + 1) | (gat(m) << 10) | (gat(mm) << 20), 0)
+    return jnp.concatenate([
+        packed.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(
+            jnp.where(live, topv, jnp.float32(-3e38)), jnp.int32),
+        besto32[:, None],
+        examined[:, None],
+        n_band[:, None],
+        jax.lax.bitcast_convert_type(
+            jnp.where(jnp.isfinite(best32), best32, jnp.float32(-3e38)),
+            jnp.int32)[:, None],
+    ], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "O", "SL", "minoverlap", "maxoverlap",
+                     "num_kmers", "algo_kind", "pmatch", "pmismatch",
+                     "nn", "nn_term", "band"))
+def assemble_shortlist(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *,
+                       L: int, O: int | None = None, SL: int = SHORTLIST,
+                       minoverlap: int = 2, maxoverlap: int = 0,
+                       num_kmers: int = 2, algo_kind: str = "counts",
+                       pmatch: float = 0.0, pmismatch: float = 0.0,
+                       nn: float = float(tables.QUAL_NN_SIMPLE_BAYESIAN),
+                       nn_term: float = 0.0, band: float | None = None,
+                       lut_match=None, lut_mismatch=None):
+    """One dispatch over REVERSED frames -> [B, 2*SL + 4] int32:
+
+      [:SL]        packed shortlist: o | m<<10 | mm<<20 (0 = empty),
+                   descending f32 score, ties toward smaller o
+      [SL:2*SL]    bitcast f32 scores of those offsets
+      [2*SL]       besto32 (f32 argmax offset, first-max)
+      [2*SL+1]     examined (number of candidate offsets in range)
+      [2*SL+2]     n_band (offsets within ``band`` of the f32 max)
+      [2*SL+3]     bitcast f32 best score
+
+    ``nt_pack`` carries BOTH reads' 4-bit codes in one byte plane
+    (fwd | rev << 4) — the upload wire is the deployment bottleneck,
+    so nt codes ship nibble-packed and unpack on device.
+    """
+    if O is None:
+        O = L
+    if band is None:
+        band = BAND_LUT if algo_kind in ("pear", "rdp_mle") \
+            else BAND_COUNTS
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    fo = fo.astype(jnp.int32)
+    ro = ro.astype(jnp.int32)
+    nts = nt_pack.astype(jnp.int32) & 0xFF
+    nt_f = nts & 0x0F
+    nt_r = (nts >> 4) & 0x0F
+    fr_q = fr_q.astype(jnp.int32)
+    rr_q = rr_q.astype(jnp.int32)
+    Fkm, Rkm = kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers)
+    (nt_f, nt_r, Fkm, Rkm) = jax.lax.optimization_barrier(
+        (nt_f, nt_r, Fkm, Rkm))
+    m, unk, candc = plane_counts(nt_f, nt_r, Fkm, Rkm, O)
+    lutsum = None
+    if algo_kind in ("pear", "rdp_mle"):
+        lutsum = lut_plane_sums(fr_q, rr_q, nt_f, nt_r, flen, rlen, L,
+                                O, algo_kind, lut_match, lut_mismatch,
+                                nn_term)
+    return shortlist_from_counts(
+        m, unk, candc, lutsum, flen, rlen, fo, ro, O=O, SL=SL,
+        minoverlap=minoverlap, maxoverlap=maxoverlap,
+        algo_kind=algo_kind, pmatch=pmatch, pmismatch=pmismatch, nn=nn,
+        band=band)
+
+
+def build_ptable(algo) -> np.ndarray:
+    """Host-side f64 table PTBL[case*2209 + fq*47 + rq] of exact
+    per-base log-probabilities for one algorithm (case codes from the
+    reconstruction, assembler.c:162-243: 0 hole, 1 fwd copy, 2 rev
+    copy, 3 overlap match, 4 overlap mismatch, 5 both B-cliff masked,
+    6 fwd masked, 7 rev masked)."""
+    from ..assembler import _match_probability_vec
+
+    fqg, rqg = np.meshgrid(np.arange(47), np.arange(47), indexing="ij")
+    fqf = fqg.ravel()
+    rqf = rqg.ravel()
+    tbl = np.zeros(8 * 2209, dtype=np.float64)
+    qs = tables.QUAL_SCORE
+    nn = float(tables.QUAL_NN_SIMPLE_BAYESIAN)
+    try:
+        mp_match = _match_probability_vec(algo, np.ones(2209, bool),
+                                          fqf, rqf)
+        mp_mis = _match_probability_vec(algo, np.zeros(2209, bool),
+                                        fqf, rqf)
+    except ValueError:  # custom algorithm: scalar match_probability
+        mp_match = np.array([algo.match_probability(True, a, b)
+                             for a, b in zip(fqf, rqf)])
+        mp_mis = np.array([algo.match_probability(False, a, b)
+                           for a, b in zip(fqf, rqf)])
+    for case in range(8):
+        base = case * 2209
+        if case == 1 or case == 7:
+            tbl[base:base + 2209] = qs[fqf]
+        elif case == 2 or case == 6:
+            tbl[base:base + 2209] = qs[rqf]
+        elif case == 3:
+            tbl[base:base + 2209] = mp_match
+        elif case == 4:
+            tbl[base:base + 2209] = mp_mis
+        elif case == 5:
+            tbl[base:base + 2209] = nn
+    return tbl

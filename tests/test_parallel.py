@@ -27,27 +27,84 @@ def _example(B, L, seed=3):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_step_matches_single_device():
-    from pandaseq_tpu.ops.align import assemble_step
+@pytest.mark.parametrize("op", [2, 4])
+def test_sharded_step_matches_single_device(op):
+    """The dp×op-sharded PRODUCTION step (overlap-plane rows split over
+    op, exact integer psum) must be bit-identical to the single-device
+    kernel."""
+    import math
+
+    from pandaseq_tpu.ops.fused2 import assemble_shortlist
     from pandaseq_tpu.parallel import shard
 
     L = 128
     B = 32
-    args = _example(B, L)
-    mesh = shard.make_mesh(8, op=2)
-    step = shard.make_sharded_step(mesh, L=L)
-    sharded = step(*shard.shard_batch(mesh, args))
-    single = assemble_step(*args, L=L)
+    q = 0.36
+    pmatch = math.log(0.25 * (1 - q) ** 2)
+    pmismatch = math.log((3 * q - 2 * q * q) / 18)
+    fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen = _example_rev(B, L)
+    zeros = np.zeros(B, dtype=np.int32)
+    args = (_pack(fwd_nt, rev_nt), fwd_q, rev_q, flen, rlen,
+            zeros, zeros)
+    mesh = shard.make_mesh(8, op=op)
+    step = shard.make_sharded_step(mesh, L=L, pmatch=pmatch,
+                                   pmismatch=pmismatch)
+    sharded = np.asarray(step(*shard.shard_batch(mesh, args)))
+    single = np.asarray(assemble_shortlist(
+        *args, L=L, pmatch=pmatch, pmismatch=pmismatch))
+    np.testing.assert_array_equal(sharded, single)
 
-    np.testing.assert_array_equal(np.asarray(sharded["ok"]),
-                                  np.asarray(single["ok"]))
-    np.testing.assert_array_equal(np.asarray(sharded["overlap"]),
-                                  np.asarray(single["overlap"]))
-    np.testing.assert_array_equal(np.asarray(sharded["seq_len"]),
-                                  np.asarray(single["seq_len"]))
-    counters = np.asarray(sharded["counters"])
-    assert counters[0] == B
-    assert counters[1] == int(np.asarray(single["counters"]["ok"]))
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_pear_matches_single_device():
+    from pandaseq_tpu.ops.fused2 import assemble_shortlist
+    from pandaseq_tpu.parallel import shard
+    from pandaseq_tpu.tables import QUAL_MATCH_PEAR, QUAL_MISMATCH_PEAR
+
+    L = 128
+    B = 16
+    fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen = _example_rev(B, L, seed=9)
+    zeros = np.zeros(B, dtype=np.int32)
+    args = (_pack(fwd_nt, rev_nt), fwd_q, rev_q, flen, rlen,
+            zeros, zeros)
+    import math
+    nn_term = -math.log(0.25)
+    mesh = shard.make_mesh(8, op=2)
+    step = shard.make_sharded_step(
+        mesh, L=L, algo_kind="pear", nn_term=nn_term,
+        lut_match=QUAL_MATCH_PEAR, lut_mismatch=QUAL_MISMATCH_PEAR)
+    sharded = np.asarray(step(*shard.shard_batch(mesh, args)))
+    single = np.asarray(assemble_shortlist(
+        *args, L=L, algo_kind="pear", nn_term=nn_term,
+        lut_match=QUAL_MATCH_PEAR, lut_mismatch=QUAL_MISMATCH_PEAR))
+    SL = 8
+    # f32 sums may differ in reduction order across op shards, which
+    # can permute near-ties in the shortlist — but the shortlist SET
+    # and the examined count must match (the host re-scores the
+    # shortlist exactly anyway)
+    np.testing.assert_array_equal(np.sort(sharded[:, :SL], axis=1),
+                                  np.sort(single[:, :SL], axis=1))
+    np.testing.assert_array_equal(sharded[:, 2 * SL + 1],
+                                  single[:, 2 * SL + 1])
+
+
+def _pack(fwd_nt, rev_nt):
+    return ((fwd_nt.astype(np.uint8) & 0x0F)
+            | ((rev_nt.astype(np.uint8) & 0x0F) << 4)).view(np.int8)
+
+
+def _example_rev(B, L, seed=3):
+    """Reversed-frame batch with planted overlap structure."""
+    fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen = _example(B, L, seed)
+    # reverse within the read to the v2 frame layout
+    for b in range(B):
+        fwd_nt[b, :flen[b]] = fwd_nt[b, :flen[b]][::-1]
+        fwd_q[b, :flen[b]] = fwd_q[b, :flen[b]][::-1]
+        rev_nt[b, :rlen[b]] = rev_nt[b, :rlen[b]][::-1]
+        rev_q[b, :rlen[b]] = rev_q[b, :rlen[b]][::-1]
+        fwd_nt[b, flen[b]:] = 0
+        rev_nt[b, rlen[b]:] = 0
+    return fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

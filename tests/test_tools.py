@@ -81,12 +81,16 @@ def test_native_decoder_matches_python():
     for b in batches:
         for i in range(len(b.sids)):
             p = pairs[flat_idx]
-            assert str(p.sid) == str(b.sids[i])
-            assert p.flen == b.flen[i] and p.rlen == b.rlen[i]
-            assert np.array_equal(p.fwd_nt[:450], b.fwd_nt[i, :450])
-            assert np.array_equal(p.fwd_q[:450], b.fwd_q[i, :450])
-            assert np.array_equal(p.rev_nt[:450], b.rev_nt[i, :450])
-            assert np.array_equal(p.rev_q[:450], b.rev_q[i, :450])
+            v = b.pairs[i]  # raw-order view over the reversed frames
+            assert str(p.sid) == str(v.sid)
+            assert p.flen == v.flen and p.rlen == v.rlen
+            # nt tails past the read are zeroed in the reversed layout
+            # (stale nt is never read); QUAL tails keep the stale
+            # persistent-buffer bytes (the PEAR quirk) verbatim
+            assert np.array_equal(p.fwd_nt[:p.flen], v.fwd_nt[:p.flen])
+            assert np.array_equal(p.fwd_q[:450], v.fwd_q[:450])
+            assert np.array_equal(p.rev_nt[:p.rlen], v.rev_nt[:p.rlen])
+            assert np.array_equal(p.rev_q[:450], v.rev_q[:450])
             flat_idx += 1
     assert flat_idx == len(pairs)
 

@@ -2,10 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "read_pairs_per_sec", "value": N, "unit": "pairs/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "device_step_ms": D, "mfu_pct": M}
 
 where the baseline is the unmodified C reference (pandaseq -T <ncpu>)
 running on this machine's CPUs over the same synthetic MiSeq dataset.
+device_step_ms is the serially-timed fused device dispatch (upload +
+compute + shortlist download) per batch; mfu_pct estimates MXU
+utilization from the count-matmul int8 op count against the v5e peak.
 """
 
 from __future__ import annotations
@@ -21,10 +24,10 @@ DATA = os.path.join(ROOT, "tests", "data")
 B1 = os.path.join(DATA, "bench_1.fastq")
 B2 = os.path.join(DATA, "bench_2.fastq")
 REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 40)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 25)))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
 
 
 def log(msg):
@@ -34,6 +37,7 @@ def log(msg):
 def ensure_data():
     if not (os.path.exists(B1) and os.path.exists(B2)
             and sum(1 for _ in open(B1)) == 4 * N_PAIRS):
+        log(f"generating {N_PAIRS} bench pairs (one-time)...")
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "tests", "golden",
                                           "make_data.py"),
@@ -61,15 +65,38 @@ def bench_reference() -> float | None:
     return N_PAIRS / dt
 
 
-def bench_tpu() -> float:
-    """Full production pipeline: host decode -> device scoring/reconstruct
-    -> host exact f64 finalization -> FASTA bytes."""
+def bench_device_step(asm, batches_fn):
+    """Serial fused-dispatch time (upload+compute+shortlist download)
+    and an MXU-utilization estimate for one warm batch."""
+    import numpy as np
+    bt = next(iter(batches_fn()))
+    st = asm._pre(bt)
+    dev = asm._dispatch(st)
+    np.asarray(dev)  # warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(asm._dispatch(st))
+        ts.append(time.perf_counter() - t0)
+    step_ms = min(ts) * 1e3
+    B = st["B"]
+    O = st["O"]
+    # count-matmul int8 ops: [3B, O*O] x [O*O, O] MACs * 2
+    ops = 2.0 * 3 * B * O * O * O
+    peak_int8 = 394e12  # v5e
+    mfu = 100.0 * ops / (min(ts) * peak_int8)
+    log(f"device step: {step_ms:.1f} ms/batch (B={B}, O={O}); "
+        f"count-matmul MFU ~{mfu:.1f}% of int8 peak")
+    return step_ms, mfu
+
+
+def bench_tpu():
+    """Full production pipeline: host decode -> device shortlist ->
+    native host finalize (exact f64 select + reconstruct + emit)."""
     from pandaseq_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
     from pandaseq_tpu.assembler import BatchAssembler
     from pandaseq_tpu.io import fastq as fq
-    from pandaseq_tpu.io import output as out_mod
-
     from pandaseq_tpu.io import native
 
     use_native = native.get_lib() is not None
@@ -98,10 +125,11 @@ def bench_tpu() -> float:
     for _ in asm.emit_stream(batches(), fmt="fasta", depth=DEPTH):
         pass
 
+    step_ms, mfu = bench_device_step(asm, batches)
+
     asm = BatchAssembler(L=512)
     t0 = time.perf_counter()
     n_in = 0
-    n_out = 0
     sink = bytearray()
     from pandaseq_tpu.io.prefetch import prefetch
     for _, codes, payload in asm.emit_stream(prefetch(batches(),
@@ -110,23 +138,24 @@ def bench_tpu() -> float:
                                              threaded=True):
         sink += payload
         n_in += len(codes)
-    n_out = asm.counters.ok
     total = time.perf_counter() - t0
     log(f"decode+assemble+format: {n_in} pairs in {total:.2f}s "
         f"({asm.counters.ok} OK)")
     log(f"end-to-end: {n_in/total:.0f} pairs/s")
-    return n_in / total
+    return n_in / total, step_ms, mfu
 
 
 def main():
     ensure_data()
     ref_rate = bench_reference()
-    tpu_rate = bench_tpu()
+    tpu_rate, step_ms, mfu = bench_tpu()
     vs = round(tpu_rate / ref_rate, 3) if ref_rate else None
     print(json.dumps({"metric": "read_pairs_per_sec",
                       "value": round(tpu_rate, 1),
                       "unit": "pairs/s",
-                      "vs_baseline": vs}))
+                      "vs_baseline": vs,
+                      "device_step_ms": round(step_ms, 1),
+                      "mfu_pct": round(mfu, 2)}))
 
 
 if __name__ == "__main__":

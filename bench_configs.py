@@ -20,9 +20,9 @@ import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(ROOT, "tests", "data")
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 40)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 25)))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
 FWD_PRIMER = "GTGCCAGCMGCCGCGGTAA"
 REV_PRIMER = "GGACTACHVGGGTWTCTAAT"
 

@@ -725,12 +725,16 @@ extern "C" {
 // same f64 order as the reference's circular buffer — and the
 // check-index scan reproduces computeoffset()'s semantics including
 // the exp()/penalty comparison done in full double precision.
+// rev_scan scans the sequence back-to-front (offset.c's reverse mode,
+// used by pandaseq-hang, hang.c:39-72): raw position seq_len-1-i is
+// frame row i, so the reverse scan reads the REVERSED frame forward.
 void psq_compute_offsets(const int8_t *nt, const int8_t *q,
                          const int32_t *len, long B, long stride,
                          const int8_t *primer, long plen,
                          double threshold, double penalty,
                          const double *qual_score,
-                         const double *qual_score_err, int64_t *out) {
+                         const double *qual_score_err, int64_t *out,
+                         int rev_scan) {
     double bestpr0 = exp((double) plen * threshold);
     double *A = (double *) malloc(sizeof(double) * (size_t) stride);
     for (long b = 0; b < B; b++) {
@@ -745,9 +749,9 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
             int px = primer[x] & 0x0F;
             if (px == 0x0F) continue;  // N contributes nothing
             for (int s = 0; s + x < S; s++) {
-                int rawpos = s + x;
-                int nt4 = ntr[S - 1 - rawpos] & 0x0F;
-                int qq = clamp46(qr[S - 1 - rawpos]);
+                int idx = rev_scan ? s + x : S - 1 - (s + x);
+                int nt4 = ntr[idx] & 0x0F;
+                int qq = clamp46(qr[idx]);
                 A[s] += (nt4 & px) ? qual_score[qq] : qual_score_err[qq];
             }
         }

@@ -136,6 +136,29 @@ class Assembler:
         every pair whose alignment fails (NOALGN) during stream()."""
         self._on_fail = callback
 
+    def copy_configuration(self, src: "Assembler"):
+        """panda_assembler_copy_configuration
+        (assembler_support.c:119-137): copy modules, primers, trims,
+        threshold, overlap bounds, post_primers mode, the algorithm
+        object (shared by reference, like panda_algorithm_ref), and the
+        primer penalty from ``src``. Counters are NOT copied."""
+        for m in src.modules:
+            self.modules.append(m)
+        self.cfg.forward_primer = None if src.cfg.forward_primer is None \
+            else src.cfg.forward_primer.copy()
+        self.cfg.reverse_primer = None if src.cfg.reverse_primer is None \
+            else src.cfg.reverse_primer.copy()
+        self.cfg.forward_trim = src.cfg.forward_trim
+        self.cfg.reverse_trim = src.cfg.reverse_trim
+        self.cfg.threshold = src.cfg.threshold
+        self.cfg.minoverlap = src.cfg.minoverlap
+        self.cfg.maxoverlap = src.cfg.maxoverlap
+        self.cfg.post_primers = src.cfg.post_primers
+        self.cfg.algorithm = src.cfg.algorithm
+        self.cfg.primer_penalty = src.cfg.primer_penalty
+        self.cfg.num_kmers = src.cfg.num_kmers
+        self._engine = None
+
     # -- counters (panda_assembler_get_*_count,
     #    pandaseq-assembler.h:208-385) --
     @property

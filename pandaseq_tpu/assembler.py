@@ -90,6 +90,38 @@ class Batch:
             self._ids_buf = buf
         return self._ids_buf
 
+    def trimmed(self, keep: np.ndarray, new_flen: np.ndarray,
+                new_rlen: np.ndarray) -> "Batch":
+        """New Batch with rows selected by ``keep`` and read lengths
+        truncated (pandaseq-hang's overhang trim, hang.c:82-114):
+        the reversed frames are rebuilt so raw bases >= the new length
+        stay in place as stale persistent-buffer bytes — exactly the
+        reference's truncate-length-only semantics."""
+        raw = self.raw()
+        L = self.fwd_nt.shape[1]
+        pos = np.arange(L)[None, :]
+        kf = new_flen[keep].astype(np.int32)
+        kr = new_rlen[keep].astype(np.int32)
+
+        def rebuild(raw_a, lens, zero_tail):
+            a = raw_a[keep]
+            idx = np.where(pos < lens[:, None], lens[:, None] - 1 - pos,
+                           pos)
+            out = np.take_along_axis(a, idx, axis=1)
+            if zero_tail:
+                out[pos >= lens[:, None]] = 0
+            return out
+
+        b = Batch([s for s, k in zip(self.sids, keep) if k],
+                  rebuild(raw[0], kf, True), rebuild(raw[1], kf, False),
+                  rebuild(raw[2], kr, True), rebuild(raw[3], kr, False),
+                  kf, kr, None)
+        from .io.native import _LazyViews
+        b.pairs = _LazyViews(b)
+        if self._ids_buf is not None:
+            b._ids_buf = np.ascontiguousarray(self._ids_buf[keep])
+        return b
+
     def raw(self):
         """Raw-order copies (fwd_nt, fwd_q, rev_nt, rev_q) of the
         reversed frames (one vectorized gather per array)."""
@@ -467,16 +499,21 @@ class BatchAssembler:
         cfg = self.cfg
         batch = st["batch"]
         Lb = st["Lb"]
-        if Lb < self.L:
-            def cut(a):
-                if isinstance(a, np.ndarray):
-                    return np.ascontiguousarray(a[:, :Lb])
-                return a[:, :Lb]
+        lut = self._algo_kind in ("pear", "rdp_mle")
+
+        def cut(a):
+            if Lb >= self.L:
+                return a
+            if isinstance(a, np.ndarray):
+                return np.ascontiguousarray(a[:, :Lb])
+            return a[:, :Lb]
+
+        if lut:
             inputs = (cut(batch.nt_packed()), cut(batch.fwd_q),
                       cut(batch.rev_q), batch.flen, batch.rlen)
         else:
-            inputs = (batch.nt_packed(), batch.fwd_q, batch.rev_q,
-                      batch.flen, batch.rlen)
+            # count-based scoring needs no quality arrays on device
+            inputs = (cut(batch.nt_packed()), batch.flen, batch.rlen)
         if self.mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -484,16 +521,21 @@ class BatchAssembler:
             if st["B"] % ndp == 0:
                 spec = NamedSharding(self.mesh, P("dp"))
                 inputs = tuple(jax.device_put(a, spec) for a in inputs)
-        kw = {}
-        if self._algo_kind in ("pear", "rdp_mle"):
-            kw = dict(lut_match=self._lut_m, lut_mismatch=self._lut_mm)
-        out = self._fused2.assemble_shortlist(
-            *inputs,
-            st["fo"].astype(np.int32), st["ro"].astype(np.int32),
+        common = dict(
             L=Lb, O=st["O"], SL=self.SL, minoverlap=cfg.minoverlap,
             maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,
             algo_kind=self._algo_kind, pmatch=self._pmatch,
-            pmismatch=self._pmismatch, nn_term=self._nn_term, **kw)
+            pmismatch=self._pmismatch)
+        fo32 = st["fo"].astype(np.int32)
+        ro32 = st["ro"].astype(np.int32)
+        if lut:
+            out = self._fused2.assemble_shortlist(
+                *inputs, fo32, ro32, nn_term=self._nn_term,
+                lut_match=self._lut_m, lut_mismatch=self._lut_mm,
+                **common)
+        else:
+            out = self._fused2.assemble_shortlist_nt(
+                *inputs, fo32, ro32, **common)
         try:  # overlap device->host copy with the next batch's compute
             out.copy_to_host_async()
         except AttributeError:
@@ -571,7 +613,10 @@ class BatchAssembler:
                 res.sid = sids[b]
             out[b] = (name, res)
         extras = dict(scored=(osc[:, 5] & 1) != 0,
-                      overlap=osc[:, 0].astype(np.int64))
+                      overlap=osc[:, 0].astype(np.int64),
+                      # per-batch deltas for per-thread STAT attribution
+                      # (pool.c:83-104 prints each assembler's tallies)
+                      counters_delta=cc.copy(), hist_delta=hist)
         return out, r["payload"], extras
 
     def _results_from_native(self, st, r):
@@ -767,8 +812,10 @@ class BatchAssembler:
                 while futs:
                     yield futs.popleft().result()
             finally:
-                # drain queued finalizations so counters stay complete
-                # even when the consumer stops iterating mid-stream
+                # finalize every dispatched batch so counters stay
+                # complete even when the consumer stops mid-stream
+                while q:
+                    futs.append(ex.submit(fin, *q.popleft()))
                 while futs:
                     try:
                         futs.popleft().result()

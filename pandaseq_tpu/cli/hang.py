@@ -68,6 +68,69 @@ class HangReader:
         return getattr(self.inner, name)
 
 
+class HangBatchFilter:
+    """Batch-level panda_trim_overhangs over the native reader's
+    reversed-frame batches: one native reverse-scan primer location per
+    side per batch (psq_compute_offsets rev_scan), then a vectorized
+    trim/compact — the per-pair HangReader semantics (hang.c:82-114)
+    without the python-reader decode ceiling."""
+
+    def __init__(self, inner, logger, forward, reverse, skip, threshold):
+        self.inner = inner
+        self.logger = logger
+        self.fwd = forward[::-1].copy() if forward is not None else None
+        self.rev = reverse[::-1].copy() if reverse is not None else None
+        self.skip = skip
+        self.threshold = threshold
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        from ..io import native as _native
+        while True:
+            b = next(self.inner)
+            B = len(b.sids)
+            keep = np.ones(B, dtype=bool)
+            flen = b.flen.astype(np.int64).copy()
+            rlen = b.rlen.astype(np.int64).copy()
+            any_primer = False
+            if self.fwd is not None and len(self.fwd):
+                any_primer = True
+                off = _native.compute_offsets(
+                    b.fwd_nt, b.fwd_q, b.flen, self.fwd,
+                    self.threshold, 0.0, rev_scan=True)
+                miss = off == 0
+                for i in np.flatnonzero(miss):
+                    self.logger.write("NOFP", sid=b.sids[i],
+                                      message="OVERHANGING REJECT")
+                if not self.skip:
+                    keep &= ~miss
+                flen = np.where(off != 0, flen - (off - 1), flen)
+            if self.rev is not None and len(self.rev):
+                any_primer = True
+                # reverse side checked only for pairs still kept
+                # (HangReader's `if keep` short-circuit)
+                off = _native.compute_offsets(
+                    b.rev_nt, b.rev_q, b.rlen, self.rev,
+                    self.threshold, 0.0, rev_scan=True)
+                miss = (off == 0) & keep
+                for i in np.flatnonzero(miss):
+                    self.logger.write("NORP", sid=b.sids[i],
+                                      message="OVERHANGING REJECT")
+                if not self.skip:
+                    keep &= ~miss
+                rlen = np.where(off != 0, rlen - (off - 1), rlen)
+            if not any_primer:
+                return b
+            if keep.any():
+                return b.trimmed(keep, flen, rlen)
+            # whole batch rejected: pull the next one
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # extract the hang-specific flags before the common parser runs
@@ -120,10 +183,16 @@ def main(argv=None) -> int:
     except SystemExit as e:
         return int(e.code or 0)
     c._hang = (fwd_primer, rev_primer, skip, threshold)
+    from ..io import native as _native
+    batch_wrapper = None
+    if _native.get_lib() is not None:
+        batch_wrapper = lambda inner, logger: HangBatchFilter(
+            inner, logger, fwd_primer, rev_primer, skip, threshold)
     return cli_main.run(c, argv, prog="pandaseq-hang",
                         reader_wrapper=lambda inner, logger: HangReader(
                             inner, logger, fwd_primer, rev_primer, skip,
-                            threshold))
+                            threshold),
+                        batch_wrapper=batch_wrapper)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,9 @@ class Config:
         self.debug_flags = stats.DEBUG_DEFAULT
         self.minlen = None
         self.maxlen = None
-        self.batch = 1024
+        # 4096-pair batches amortize per-dispatch latency; override via
+        # PANDASEQ_TPU_BATCH (the device step scales monotonically in B)
+        self.batch = int(os.environ.get("PANDASEQ_TPU_BATCH", "4096"))
 
 
 def parse_args(argv, prog="pandaseq"):
@@ -324,7 +326,8 @@ def apply_platform_env():
             pass
 
 
-def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
+def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
+        batch_wrapper=None) -> int:
     apply_platform_env()
     log_stream, close_log = _open_out(c.log_path, c.log_bz2) \
         if c.log_path else (sys.stderr.buffer, False)
@@ -380,7 +383,7 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
     reporter = stats.StatReporter(logger)
 
     native_reader = None
-    if (reader_wrapper is None
+    if ((reader_wrapper is None or batch_wrapper is not None)
             and not os.environ.get("PANDASEQ_TPU_NO_NATIVE")):
         from ..io import native
         try:
@@ -409,7 +412,10 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
 
     def batches():
         if native_reader is not None:
-            yield from native_reader
+            if batch_wrapper is not None:
+                yield from batch_wrapper(native_reader, logger)
+            else:
+                yield from native_reader
             if native_reader.error and native_reader.error != "EOF":
                 logger.write(native_reader.error, flag=stats.DEBUG_FILE)
             return
@@ -461,6 +467,31 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
                 logger.write(code, sid=pair.sid, message=msg, flag=bit)
             _oracle.assemble(c.cfg, pair, dbg=dbg)
 
+    # per-thread STAT emulation (-T N): the reference prints each worker
+    # assembler's OWN final counter block (pool.c:83-104); batches are
+    # attributed round-robin to N virtual assemblers so the output
+    # schema (N blocks whose tallies sum to the totals) is preserved
+    # deterministically. Work distribution differs from the pthread
+    # pool's (which is scheduling-dependent and nondeterministic).
+    from ..assembler import Counters as _Counters
+    vcounters = [_Counters() for _ in range(threads)] if threads > 1 \
+        else None
+    batch_no = 0
+
+    def attribute(vc, delta, hist, n_pairs):
+        vc.count += n_pairs
+        vc.ok += int(delta[0])
+        vc.lowq += int(delta[1])
+        vc.noalgn += int(delta[2])
+        vc.badread += int(delta[3])
+        vc.nofp += int(delta[4])
+        vc.norp += int(delta[5])
+        vc.slow += int(delta[6])
+        if hist is not None:
+            for o in np.flatnonzero(hist):
+                vc.overlaps[int(o)] = vc.overlaps.get(int(o), 0) \
+                    + int(hist[o])
+
     use_emit = (not c.modules and not c.cfg.post_primers
                 and debug_replay is None)
     if use_emit:
@@ -471,6 +502,11 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
             out_stream.write(payload)
             overlaps = extras["overlap"]
             scored = extras["scored"]
+            if vcounters is not None and "counters_delta" in extras:
+                attribute(vcounters[batch_no % threads],
+                          extras["counters_delta"], extras["hist_delta"],
+                          len(codes))
+            batch_no += 1
             for i, (pair, (code, res)) in enumerate(zip(pairs, codes)):
                 done += 1
                 if log_bestolp and scored[i]:
@@ -483,7 +519,23 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
                 if done % 1000 == 0:
                     reporter.print_time(done)
     else:
+        import copy as _copy
+        prev_snap = _copy.deepcopy(asm.counters) if vcounters else None
         for pairs, results in asm.assemble_stream(prefetch(batches())):
+            if vcounters is not None:
+                cur, p = asm.counters, prev_snap
+                delta = [cur.ok - p.ok, cur.lowq - p.lowq,
+                         cur.noalgn - p.noalgn, cur.badread - p.badread,
+                         cur.nofp - p.nofp, cur.norp - p.norp,
+                         cur.slow - p.slow]
+                vc = vcounters[batch_no % threads]
+                attribute(vc, delta, None, cur.count - p.count)
+                for o, n in cur.overlaps.items():
+                    d = n - p.overlaps.get(o, 0)
+                    if d:
+                        vc.overlaps[o] = vc.overlaps.get(o, 0) + d
+                prev_snap = _copy.deepcopy(cur)
+            batch_no += 1
             for pair, (code, res) in zip(pairs, results):
                 done += 1
                 if debug_replay is not None:
@@ -503,9 +555,19 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None) -> int:
     if reader.seen_under_64 is False and reader.non_empty \
             and c.qualmin == 33:
         logger.write("PHRED_OFFSET")  # fastq.c:195-207
-    reporter.final(asm.counters, modules=c.modules,
-                   has_fwd_primer=c.cfg.forward_primer is not None,
-                   has_rev_primer=c.cfg.reverse_primer is not None)
+    if vcounters is not None and sum(v.count for v in vcounters) \
+            == asm.counters.count:
+        # one final block per virtual assembler thread (pool.c:83-104);
+        # module reject tallies are global, printed with thread 0
+        for t, vc in enumerate(vcounters):
+            reporter.final(
+                vc, modules=c.modules if t == 0 else (),
+                has_fwd_primer=c.cfg.forward_primer is not None,
+                has_rev_primer=c.cfg.reverse_primer is not None)
+    else:
+        reporter.final(asm.counters, modules=c.modules,
+                       has_fwd_primer=c.cfg.forward_primer is not None,
+                       has_rev_primer=c.cfg.reverse_primer is not None)
     for mod in c.modules:
         if mod.destroy is not None:
             mod.destroy()

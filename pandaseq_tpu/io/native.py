@@ -72,7 +72,8 @@ def get_lib():
     lib.psq_compute_offsets.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_double,
-        ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
     lib.psq_finalize.restype = ctypes.c_long
     lib.psq_finalize.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -139,10 +140,12 @@ def quality(seq: np.ndarray, ptbl: np.ndarray,
     return out
 
 
-def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty):
+def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty,
+                    rev_scan: bool = False):
     """Native panda_compute_offset batch (offset.c:47-90) over REVERSED
     frames; returns int64 bestindex per read (0 = no primer found), or
-    None when the native library is unavailable."""
+    None when the native library is unavailable. rev_scan scans
+    back-to-front (the pandaseq-hang overhang mode)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -158,7 +161,8 @@ def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty):
     lib.psq_compute_offsets(
         nt_rev.ctypes.data, q_rev.ctypes.data, lens.ctypes.data, B, S,
         primer.ctypes.data, len(primer), float(threshold), float(penalty),
-        qs.ctypes.data, qe.ctypes.data, out.ctypes.data)
+        qs.ctypes.data, qe.ctypes.data, out.ctypes.data,
+        1 if rev_scan else 0)
     return out
 
 

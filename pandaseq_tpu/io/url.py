@@ -4,7 +4,9 @@ The reference inverts libcurl's push callbacks into a pull stream with
 ucontext coroutines (curl_reader.c:86-143); Python's urllib response
 objects are already pull-based file objects, so the whole trick reduces
 to opening the stream and layering the same magic-byte compression sniff
-over it (fileio.c:60-98). file://, http:// and https:// are supported.
+over it (fileio.c:60-98). file://, http://, https:// and ftp:// are
+supported (urllib's default opener includes an FTP handler — the same
+scheme set libcurl serves the reference).
 """
 
 from __future__ import annotations

@@ -205,7 +205,7 @@ def lut_plane_sums(fr_q, rr_q, nt_f, nt_r, flen, rlen, L, O, algo_kind,
     f_pad = f == 0
     r_pad = r == 0
     n_mask = ((f == 0x0F) | (r == 0x0F)) & ~f_pad & ~r_pad
-    match = ((f & r) != 0) & ~n_mask
+    raw_match = (f & r) != 0
     OHf = jax.nn.one_hot(jnp.clip(qf, 0, 46), 47, dtype=jnp.float32)
     OH2 = jax.nn.one_hot(jnp.clip(q2, 0, 46), 47, dtype=jnp.float32)
     Tm = jnp.asarray(lut_match, dtype=jnp.float32)
@@ -215,11 +215,12 @@ def lut_plane_sums(fr_q, rr_q, nt_f, nt_r, flen, rlen, L, O, algo_kind,
     mmv = jnp.einsum("bjc,cd,bid->bji", OHf, Tmm, OH2, precision=hp)
     if algo_kind == "pear":
         contrib = jnp.where(n_mask, jnp.float32(nn_term),
-                            jnp.where(match, mv, mmv))
+                            jnp.where(raw_match, mv, mmv))
     else:
-        # rdp_mle has no N special case (algo_rdp_mle.c:64-71): N
-        # positions take the mismatch value (f & r == 0 there)
-        contrib = jnp.where(match, mv, mmv)
+        # rdp_mle has NO N special case (algo_rdp_mle.c:64-71): an N
+        # base (0x0F) bit-intersects every code, so N positions score
+        # as MATCHES — raw f & r, not the N-excluded match mask
+        contrib = jnp.where(raw_match, mv, mmv)
     contrib = jnp.where(f_pad | r_pad, jnp.float32(0), contrib)
     T3f = _diag_t3(O, j0, Oj, jnp.float32)
     return jax.lax.dot_general(
@@ -314,6 +315,39 @@ def shortlist_from_counts(m, unk, candc, lutsum, flen, rlen, fo, ro, *,
     ], axis=1)
 
 
+def _shortlist_core(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *, L, O,
+                    SL, minoverlap, maxoverlap, num_kmers, algo_kind,
+                    pmatch, pmismatch, nn, nn_term, band, lut_match,
+                    lut_mismatch):
+    if O is None:
+        O = L
+    if band is None:
+        band = BAND_LUT if algo_kind in ("pear", "rdp_mle") \
+            else BAND_COUNTS
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    fo = fo.astype(jnp.int32)
+    ro = ro.astype(jnp.int32)
+    nts = nt_pack.astype(jnp.int32) & 0xFF
+    nt_f = nts & 0x0F
+    nt_r = (nts >> 4) & 0x0F
+    Fkm, Rkm = kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers)
+    (nt_f, nt_r, Fkm, Rkm) = jax.lax.optimization_barrier(
+        (nt_f, nt_r, Fkm, Rkm))
+    m, unk, candc = plane_counts(nt_f, nt_r, Fkm, Rkm, O)
+    lutsum = None
+    if algo_kind in ("pear", "rdp_mle"):
+        lutsum = lut_plane_sums(fr_q.astype(jnp.int32),
+                                rr_q.astype(jnp.int32), nt_f, nt_r,
+                                flen, rlen, L, O, algo_kind, lut_match,
+                                lut_mismatch, nn_term)
+    return shortlist_from_counts(
+        m, unk, candc, lutsum, flen, rlen, fo, ro, O=O, SL=SL,
+        minoverlap=minoverlap, maxoverlap=maxoverlap,
+        algo_kind=algo_kind, pmatch=pmatch, pmismatch=pmismatch, nn=nn,
+        band=band)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "O", "SL", "minoverlap", "maxoverlap",
@@ -339,36 +373,43 @@ def assemble_shortlist(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *,
 
     ``nt_pack`` carries BOTH reads' 4-bit codes in one byte plane
     (fwd | rev << 4) — the upload wire is the deployment bottleneck,
-    so nt codes ship nibble-packed and unpack on device.
+    so nt codes ship nibble-packed and unpack on device. Quality
+    arrays are consumed only by the pear/rdp_mle LUT scoring; the
+    count-based algorithms use assemble_shortlist_nt, which uploads
+    only the nt plane (256 B/pair at L=256).
     """
-    if O is None:
-        O = L
-    if band is None:
-        band = BAND_LUT if algo_kind in ("pear", "rdp_mle") \
-            else BAND_COUNTS
-    flen = flen.astype(jnp.int32)
-    rlen = rlen.astype(jnp.int32)
-    fo = fo.astype(jnp.int32)
-    ro = ro.astype(jnp.int32)
-    nts = nt_pack.astype(jnp.int32) & 0xFF
-    nt_f = nts & 0x0F
-    nt_r = (nts >> 4) & 0x0F
-    fr_q = fr_q.astype(jnp.int32)
-    rr_q = rr_q.astype(jnp.int32)
-    Fkm, Rkm = kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers)
-    (nt_f, nt_r, Fkm, Rkm) = jax.lax.optimization_barrier(
-        (nt_f, nt_r, Fkm, Rkm))
-    m, unk, candc = plane_counts(nt_f, nt_r, Fkm, Rkm, O)
-    lutsum = None
-    if algo_kind in ("pear", "rdp_mle"):
-        lutsum = lut_plane_sums(fr_q, rr_q, nt_f, nt_r, flen, rlen, L,
-                                O, algo_kind, lut_match, lut_mismatch,
-                                nn_term)
-    return shortlist_from_counts(
-        m, unk, candc, lutsum, flen, rlen, fo, ro, O=O, SL=SL,
+    return _shortlist_core(
+        nt_pack, fr_q, rr_q, flen, rlen, fo, ro, L=L, O=O, SL=SL,
         minoverlap=minoverlap, maxoverlap=maxoverlap,
-        algo_kind=algo_kind, pmatch=pmatch, pmismatch=pmismatch, nn=nn,
-        band=band)
+        num_kmers=num_kmers, algo_kind=algo_kind, pmatch=pmatch,
+        pmismatch=pmismatch, nn=nn, nn_term=nn_term, band=band,
+        lut_match=lut_match, lut_mismatch=lut_mismatch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "O", "SL", "minoverlap", "maxoverlap",
+                     "num_kmers", "algo_kind", "pmatch", "pmismatch",
+                     "nn", "band"))
+def assemble_shortlist_nt(nt_pack, flen, rlen, fo, ro, *, L: int,
+                          O: int | None = None, SL: int = SHORTLIST,
+                          minoverlap: int = 2, maxoverlap: int = 0,
+                          num_kmers: int = 2, algo_kind: str = "counts",
+                          pmatch: float = 0.0, pmismatch: float = 0.0,
+                          nn: float = float(
+                              tables.QUAL_NN_SIMPLE_BAYESIAN),
+                          band: float | None = None):
+    """Quals-free variant of assemble_shortlist for the count-based
+    algorithms (simple_bayesian/uparse/ea_util/flash/stitch): their
+    scores depend only on integer counts, and reconstruction happens on
+    host, so the device upload is just the nibble-packed nt plane."""
+    assert algo_kind not in ("pear", "rdp_mle")
+    return _shortlist_core(
+        nt_pack, None, None, flen, rlen, fo, ro, L=L, O=O, SL=SL,
+        minoverlap=minoverlap, maxoverlap=maxoverlap,
+        num_kmers=num_kmers, algo_kind=algo_kind, pmatch=pmatch,
+        pmismatch=pmismatch, nn=nn, nn_term=0.0, band=band,
+        lut_match=None, lut_mismatch=None)
 
 
 def build_ptable(algo) -> np.ndarray:

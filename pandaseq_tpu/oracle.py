@@ -305,20 +305,23 @@ def make_algorithm(name: str, arg: str | None = None) -> Algorithm:
 # K-mer candidate seeding (assembler.c:91-118)
 # --------------------------------------------------------------------------
 
-def kmer_emissions(nt: np.ndarray, length: int, reverse: bool):
+def kmer_emissions(nt: np.ndarray, length: int, reverse: bool,
+                   k: int = KMER_LEN):
     """Positions at which FOREACH_KMER emits, with their k-mer values
-    (misc.h:41-43). The window emits only once `bad` reaches zero, i.e. the
-    first emission happens at the 9th base examined; an N resets the
-    counter."""
+    (misc.h:41-43). The window emits only once `bad` reaches zero, i.e.
+    the first emission happens at the (k+1)-th base examined; an N
+    resets the counter. ``k`` defaults to the assembler's KMER_LEN; the
+    public iterator (iter.c:137-148) allows 1..32."""
     out = []
     kmer = 0
-    bad = KMER_LEN
+    bad = k
+    mask = (1 << (2 * k)) - 1
     rng = range(length - 1, -1, -1) if reverse else range(length)
     for p in rng:
         code = int(_KMER_CODE[int(nt[p]) & 0x0F])
-        kmer = ((kmer << 2) | code) & _KMER_MASK
+        kmer = ((kmer << 2) | code) & mask
         if (int(nt[p]) & 0x0F) == 0x0F:
-            bad = KMER_LEN
+            bad = k
         elif bad > 0:
             bad -= 1
         else:

@@ -2,17 +2,21 @@
 
 The reference's scaling story is one node of pthreads over a mutex'd
 reader (pool.c/mux.c). The TPU-native story (SURVEY.md §2.4): every host
-decodes its own input shard, every chip assembles its share of the
-batch, and the 13 STAT counters + overlap histogram are reduced with
-psum over ICI/DCN at the end — output streams stay host-local (the
-threaded reference's output order is already nondeterministic, so
-per-host files match its semantics).
+decodes its input shard, every chip assembles its share of the batch,
+and the STAT counters + overlap histogram are reduced with psum over
+ICI/DCN at the end — output streams stay host-local (the threaded
+reference's output order is already nondeterministic, so per-host files
+match its semantics).
 
-Input sharding:
-  * a list of file pairs -> files are striped across hosts
-  * a single pair -> every host decodes the stream but keeps batches
-    round-robin (decode runs at ~140k pairs/s in the native reader, so
-    re-decoding is acceptable up to moderate host counts)
+Input sharding, mirroring PandaMux's one-stream/N-consumers semantics
+(mux.c:132-161 hands each worker the next pair under a mutex):
+
+  * more file pairs than hosts -> files are striped across hosts;
+  * ONE file pair, N hosts -> every host decodes the stream (the
+    native decoder runs at ~150k pairs/s, far above one chip's share)
+    and claims batches round-robin by batch index — each record is
+    processed by exactly one host, like the reference's mutex'd
+    hand-off but deterministic.
 
 Checkpoint/resume: the driver records (shard, batch_index) after every
 flushed batch in a sidecar; on restart batches before the watermark are
@@ -41,7 +45,12 @@ def maybe_initialize_distributed():
 
 def reduce_counters(counters, histogram: dict):
     """Global STAT reduction: psum the counter vector + histogram over
-    all devices/hosts (proxy.c's per-thread tallies, reduced)."""
+    all hosts (proxy.c's per-thread tallies, reduced).
+
+    Each process contributes its vector on its FIRST local device's row
+    of a device-sharded [n_devices, len] array (other rows zero), so
+    the reduction is a plain device-axis sum — correct for any number
+    of local devices per process, even uneven ones."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
@@ -56,12 +65,9 @@ def reduce_counters(counters, histogram: dict):
 
     devs = np.asarray(jax.devices())
     mesh = Mesh(devs, ("dp",))
-    # every process contributes its local vector once: shard a
-    # [n_devices, len] array with one row per device (host's row
-    # replicated across its local devices, divided back out)
-    n_local = jax.local_device_count()
-    local = np.tile(vec // max(n_local, 1), (n_local, 1))
-    local[0] += vec - (vec // max(n_local, 1)) * n_local
+    n_local = max(jax.local_device_count(), 1)
+    local = np.zeros((n_local, len(vec)), dtype=np.int32)
+    local[0] = vec
     arr = jax.make_array_from_process_local_data(
         jax.NamedSharding(mesh, P("dp")), local)
     total = jax.jit(
@@ -101,13 +107,39 @@ def shard_inputs(inputs, process_index: int, process_count: int):
             if i % process_count == process_index]
 
 
+def _batches_of(fwd, rev, batch, L):
+    try:
+        from ..io import native
+        if native.get_lib() is None:
+            raise RuntimeError
+        yield from native.NativeBatchReader(fwd, rev, batch=batch, L=L)
+    except (RuntimeError, OSError):
+        from ..io import fastq as fq
+        reader = fq.read_pairs(fwd, rev)
+        done = False
+        while not done:
+            chunk = []
+            while len(chunk) < batch:
+                try:
+                    chunk.append(next(reader))
+                except (StopIteration, fq.StreamError):
+                    done = True
+                    break
+            if chunk:
+                yield chunk
+
+
 def run_distributed(inputs, cfg=None, out_dir: str = ".",
-                    batch: int = 1024, L: int = 512, modules=(),
+                    batch: int = 4096, L: int = 512, modules=(),
                     checkpoint: str | None = None, fastq: bool = False):
     """Assemble a list of (fwd, rev) FASTQ pairs across all hosts.
 
-    Returns (counters_vector, histogram) reduced over every host. Output
-    is written per-host to out_dir/part-<process>.fasta.
+    Returns (counters_vector, histogram) reduced over every host.
+    Output is written per-host to out_dir/part-<process>.fasta.
+
+    With fewer file pairs than hosts, each pair's batch stream is
+    claimed round-robin across the hosts sharing it (the PandaMux
+    analogue, mux.c:132-161) so one input keeps every host busy.
     """
     from .. import oracle
     from ..assembler import BatchAssembler
@@ -115,8 +147,21 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
     from ..io.prefetch import prefetch
 
     pidx, pcount = maybe_initialize_distributed()
-    my_inputs = shard_inputs(list(inputs), pidx, pcount)
+    inputs = list(inputs)
     cfg = cfg or oracle.OracleConfig()
+    if len(inputs) >= pcount:
+        my_inputs = [(i, pair, 0, 1)
+                     for i, pair in enumerate(inputs)
+                     if i % pcount == pidx]
+    else:
+        # mux mode: hosts gang up on the (few) streams; host h serves
+        # stream h % n_inputs and claims batches round-robin among the
+        # hosts on the same stream
+        n_in = len(inputs)
+        shard_no = pidx % n_in
+        consumers = [p for p in range(pcount) if p % n_in == shard_no]
+        my_inputs = [(shard_no, inputs[shard_no],
+                      consumers.index(pidx), len(consumers))]
     import jax
     mesh = None
     if jax.local_device_count() > 1:
@@ -124,6 +169,8 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
         mesh = make_mesh(jax.local_device_count(), op=1)
     asm = BatchAssembler(cfg, L=L, modules=list(modules), mesh=mesh)
     fmt = out_mod.format_fastq if fastq else out_mod.format_fasta
+    if checkpoint and pcount > 1:
+        checkpoint = "%s.%05d" % (checkpoint, pidx)  # per-host sidecar
     ck = ShardCheckpoint(checkpoint)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -131,40 +178,28 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
                             % (pidx, "fastq" if fastq else "fasta"))
     mode = "ab" if checkpoint and os.path.exists(out_path) else "wb"
     with open(out_path, mode) as out:
-        for shard_no, (fwd, rev) in enumerate(my_inputs):
+        for shard_no, (fwd, rev), claim, n_claim in my_inputs:
             start_after = ck.watermark(shard_no)
 
-            def batches():
-                try:
-                    from ..io import native
-                    if native.get_lib() is None:
-                        raise RuntimeError
-                    yield from native.NativeBatchReader(
-                        fwd, rev, batch=batch, L=L)
-                except (RuntimeError, OSError):
-                    from ..io import fastq as fq
-                    reader = fq.read_pairs(fwd, rev)
-                    done = False
-                    while not done:
-                        chunk = []
-                        while len(chunk) < batch:
-                            try:
-                                chunk.append(next(reader))
-                            except (StopIteration, fq.StreamError):
-                                done = True
-                                break
-                        if chunk:
-                            yield chunk
-
-            def skip_resumed(it):
+            def claimed(it):
+                # round-robin batch claims among this stream's hosts
+                # + resume skip (batches <= watermark already flushed)
                 for i, b in enumerate(it):
+                    if i % n_claim != claim:
+                        continue
                     if i > start_after:
                         yield i, b
 
-            stream = ((b for _, b in skip_resumed(prefetch(batches()))))
-            batch_no = start_after
-            for _, results in asm.assemble_stream(stream):
-                batch_no += 1
+            stream = claimed(prefetch(_batches_of(fwd, rev, batch, L)))
+            idx_iter = []
+
+            def tagged():
+                for i, b in stream:
+                    idx_iter.append(i)
+                    yield b
+
+            for _, results in asm.assemble_stream(tagged()):
+                batch_no = idx_iter.pop(0)
                 for code, res in results:
                     if code == "OK":
                         out.write(fmt(res))

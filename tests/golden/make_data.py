@@ -20,7 +20,9 @@ def revcomp(s: str) -> str:
 
 
 def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int,
-              fwd_primer: str = "", rev_primer: str = ""):
+              fwd_primer: str = "", rev_primer: str = "",
+              cliff_rate: float = 0.15, n_run_rate: float = 0.0,
+              qual_offset: int = 33):
     amp_len = rng.randint(amp_min, amp_max)
     amplicon = (fwd_primer
                 + "".join(rng.choice("ACGT")
@@ -30,30 +32,43 @@ def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int,
     fwd = amplicon[:read_len]
     rev = revcomp(amplicon)[:read_len]
 
-    def corrupt(read: str):
+    def corrupt(read: str, cliff_rate: float = 0.15,
+                n_run_rate: float = 0.0, qual_offset: int = 33):
         quals = []
         bases = []
         # quality profile: high at 5', decaying; occasional B-cliff
-        cliff = rng.random() < 0.15
+        cliff = rng.random() < cliff_rate
         cliff_start = rng.randint(len(read) * 3 // 4, len(read)) if cliff \
             else len(read)
+        # N runs: a burst of no-calls mid-read (failed cycles on real
+        # MiSeq flowcells; the McBath regression pair has these)
+        n_start = n_end = -1
+        if rng.random() < n_run_rate:
+            n_start = rng.randint(0, max(len(read) - 15, 1))
+            n_end = n_start + rng.randint(3, 15)
         for i, b in enumerate(read):
             if i >= cliff_start:
                 q = 2
             else:
                 q = max(2, min(40, int(rng.gauss(38 - 14 * i / len(read), 4))))
-            p_err = 10.0 ** (-q / 10.0)
-            if rng.random() < p_err:
-                if rng.random() < 0.1:
-                    b = "N"
-                    q = 2
-                else:
-                    b = rng.choice([c for c in "ACGT" if c != b])
+            if n_start <= i < n_end:
+                b = "N"
+                q = 2
+            else:
+                p_err = 10.0 ** (-q / 10.0)
+                if rng.random() < p_err:
+                    if rng.random() < 0.1:
+                        b = "N"
+                        q = 2
+                    else:
+                        b = rng.choice([c for c in "ACGT" if c != b])
             bases.append(b)
             quals.append(q)
-        return "".join(bases), "".join(chr(33 + q) for q in quals)
+        return "".join(bases), "".join(chr(qual_offset + q) for q in quals)
 
-    return corrupt(fwd), corrupt(rev)
+    kw = dict(cliff_rate=cliff_rate, n_run_rate=n_run_rate,
+              qual_offset=qual_offset)
+    return corrupt(fwd, **kw), corrupt(rev, **kw)
 
 
 def main_fast(args):
@@ -127,6 +142,12 @@ def main():
                     help="primer whose revcomp ends the amplicon")
     ap.add_argument("--fast", action="store_true",
                     help="vectorized generator for large sets")
+    ap.add_argument("--cliff-rate", type=float, default=0.15,
+                    help="per-read probability of a PHRED-2 B-cliff tail")
+    ap.add_argument("--n-run-rate", type=float, default=0.0,
+                    help="per-read probability of a mid-read N run")
+    ap.add_argument("--qual-offset", type=int, default=33,
+                    help="FASTQ quality encoding offset (64 = PHRED+64)")
     args = ap.parse_args()
     if args.fast:
         main_fast(args)
@@ -140,7 +161,8 @@ def main():
     for n in range(args.pairs):
         (fs, fq), (rs, rq) = make_pair(rng, args.read_len, args.amp_min,
                                        args.amp_max, args.fwd_primer,
-                                       args.rev_primer)
+                                       args.rev_primer, args.cliff_rate,
+                                       args.n_run_rate, args.qual_offset)
         ident = (f"M00000:7:000000000-TEST1:1:1101:{10000 + n}:{2000 + n}")
         fa.write(f"@{ident} 1:N:0:{args.tag}\n{fs}\n+\n{fq}\n")
         fb.write(f"@{ident} 2:N:0:{args.tag}\n{rs}\n+\n{rq}\n")

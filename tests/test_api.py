@@ -117,3 +117,48 @@ def test_api_count_getters_and_fail_callback():
     assert sum(hist.values()) == asm.ok_count + asm.low_quality_count \
         or sum(hist.values()) == asm.ok_count
     assert asm.longest_overlap == (max(hist) if hist else 0)
+
+
+def test_copy_configuration():
+    """panda_assembler_copy_configuration (assembler_support.c:119-137)."""
+    import math
+    import pandaseq_tpu as pt
+
+    src = pt.Assembler()
+    src.algorithm = pt.make_algorithm("pear")
+    src.threshold = 0.7
+    src.minimum_overlap = 5
+    src.maximum_overlap = 300
+    src.primers_after = True
+    src.set_forward_primer("ACGT")
+    src.set_reverse_trim(3)
+    dst = pt.Assembler()
+    dst.copy_configuration(src)
+    assert dst.algorithm is src.algorithm
+    assert math.isclose(dst.threshold, 0.7)
+    assert dst.minimum_overlap == 5
+    assert dst.maximum_overlap == 300
+    assert dst.primers_after is True
+    assert (dst.cfg.forward_primer == src.cfg.forward_primer).all()
+    assert dst.cfg.reverse_trim == 3
+    # counters are NOT copied
+    assert dst.count == 0
+
+
+def test_kmer_iterate_variants():
+    """panda_iterate_qual/_result and the k parameter (iter.c:137-190)."""
+    import numpy as np
+    from pandaseq_tpu import kmer_iter
+
+    nt = np.array([1, 2, 4, 8, 1, 2, 4, 8, 1, 2, 4, 8], dtype=np.int8)
+    full = list(kmer_iter.iterate(nt))
+    assert full and full[0][1] == 8  # first emission at the 9th base
+    k4 = list(kmer_iter.iterate(nt, k=4))
+    assert k4[0][1] == 4  # k=4: first emission at the 5th base
+    assert all(v < (1 << 8) for v, _ in k4)
+    assert list(kmer_iter.iterate_qual(nt)) == full
+    assert list(kmer_iter.iterate_result(nt)) == full
+    rev = list(kmer_iter.iterate(nt, reverse=True))
+    assert rev and rev[0][1] == len(nt) - 1 - 8
+    # k < 1 falls back to KMER_LEN (iter.c:144-145)
+    assert list(kmer_iter.iterate(nt, k=0)) == full

@@ -258,3 +258,46 @@ def test_cli_untagged_ids_require_B(tmp_path):
     assert got_b.stdout == ref_b.stdout, _diff_head(ref_b.stdout,
                                                     got_b.stdout)
     assert got_b.returncode == ref_b.returncode
+
+
+def test_cli_per_thread_stat_blocks():
+    """-T 3 emits one final STAT block per virtual assembler thread
+    (pool.c:83-104); per-thread tallies sum to the -T 1 totals and
+    stdout stays byte-identical."""
+    ref = run_ref(BASE)
+    got1 = run_cli(BASE + ["-T", "1"])
+    got3 = run_cli(BASE + ["-T", "3"])
+    assert got3.stdout == ref.stdout
+    err = got3.stderr.decode()
+    oks = [int(m) for m in re.findall(r"STAT\tOK\t(\d+)", err)]
+    reads = [int(m) for m in re.findall(r"STAT\tREADS\t(\d+)", err)]
+    assert len(oks) == 3  # one block per virtual thread
+    ok1 = int(re.search(r"STAT\tOK\t(\d+)", got1.stderr.decode()).group(1))
+    assert sum(oks) == ok1
+    # final READS per thread (last 3 READS lines) sum to the total
+    assert sum(reads[-3:]) == 200
+    assert err.count("STAT\tOVERLAPS") == 3
+
+
+def test_emit_stream_early_exit_drains_counters():
+    """Breaking out of emit_stream(threaded=True) mid-iteration must
+    still account every dispatched batch's counters (the finally-block
+    drain)."""
+    import numpy as np
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import fastq as fq
+
+    pairs = list(fq.read_pairs(F1, F2, policy="PRESENT"))
+    batches = [pairs[i:i + 20] for i in range(0, 200, 20)]
+    asm = BatchAssembler(L=512)
+    n_seen = 0
+    for _, codes, payload in asm.emit_stream(iter(batches), depth=2,
+                                             threaded=True):
+        n_seen += len(codes)
+        break  # early consumer exit
+    # conservation: every batch that was READ (counted in _pre) was
+    # also finalized despite the break — no silently-dropped tallies
+    c = asm.counters
+    assert c.count > n_seen  # batches beyond the first were in flight
+    total = c.ok + c.lowq + c.noalgn + c.badread + c.nofp + c.norp
+    assert total == c.count

@@ -35,6 +35,31 @@ def test_run_distributed_resume(tmp_path):
     assert (tmp_path / "part-00000.fasta").read_bytes() == first
 
 
+def test_mux_round_robin_two_hosts(tmp_path, monkeypatch):
+    """ONE input pair, two 'hosts' (PandaMux analogue, mux.c:132-161):
+    each host claims alternating batches; the union of their outputs
+    equals the single-host output and counters sum to the total."""
+    from pandaseq_tpu.parallel import distributed
+
+    ref = ref_output([])
+
+    outs = []
+    tot = np.zeros(8, dtype=np.int64)
+    for rank in (0, 1):
+        monkeypatch.setattr(distributed, "maybe_initialize_distributed",
+                            lambda r=rank: (r, 2))
+        counters, hist = distributed.run_distributed(
+            [(F1, F2)], out_dir=str(tmp_path), batch=32)
+        outs.append((tmp_path / ("part-%05d.fasta" % rank)).read_bytes())
+        tot += counters
+    assert tot[0] == 200  # every record processed exactly once
+    # batch claims alternate, so interleaving the hosts' outputs
+    # batch-by-batch reproduces the single-stream byte output
+    assert len(outs[0]) + len(outs[1]) == len(ref)
+    combined = sorted((outs[0] + outs[1]).split(b"\n"))
+    assert combined == sorted(ref.split(b"\n"))
+
+
 def test_shard_inputs():
     from pandaseq_tpu.parallel.distributed import shard_inputs
 

@@ -736,7 +736,14 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
                          const double *qual_score_err, int64_t *out,
                          int rev_scan) {
     double bestpr0 = exp((double) plen * threshold);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
     double *A = (double *) malloc(sizeof(double) * (size_t) stride);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
     for (long b = 0; b < B; b++) {
         int S = len[b];
         if (plen > S) { out[b] = 0; continue; }
@@ -775,6 +782,7 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
         out[b] = bestindex;
     }
     free(A);
+    }
 }
 
 // Batch finalization. plane is the device shortlist [B, W] int32 with
@@ -802,9 +810,12 @@ long psq_finalize(
     const char NT_A[17] = "NACMGRSVTWYHKDBN";
     static const int POPCNT4[16] = {0, 1, 1, 2, 1, 2, 2, 3,
                                     1, 2, 2, 3, 2, 3, 3, 4};
-    int16_t pidx_buf_local[2 * MAX_LEN + 8];
-    uint8_t ascii_buf_local[2 * MAX_LEN + 8];
-    for (long b = 0; b < B; b++) {
+    // per-pair body; returns payload bytes written (fmt > 0) or 0;
+    // -1 on payload overflow. With fmt == 0 pairs are independent
+    // (no counters/payload), so the driver loop below parallelizes.
+    auto do_pair = [&](long b, uint8_t *pay, long pay_cap) -> long {
+        int16_t pidx_buf_local[2 * MAX_LEN + 8];
+        uint8_t ascii_buf_local[2 * MAX_LEN + 8];
         int32_t *oscr = osc + b * 6;
         oscr[0] = 0; oscr[1] = 0; oscr[2] = 0; oscr[3] = 0;
         oscr[4] = 0; oscr[5] = 0;
@@ -831,7 +842,7 @@ long psq_finalize(
                 if (fmt) counters[2]++;
                 break;
             }
-            continue;
+            return 0;
         }
         Frames F{fr_nt + b * stride, fr_q + b * stride,
                  rr_nt + b * stride, rr_q + b * stride,
@@ -903,14 +914,14 @@ long psq_finalize(
         if (besto == -1) {
             codes[b] = CODE_NOALGN;
             if (fmt) counters[2]++;
-            continue;
+            return 0;
         }
         long length = (long) F.flen - fo - besto + F.rlen - ro + 1;
         if (length <= 0 || length > 2 * MAX_LEN) {
             // NEGS / OOM both surface as NOALGN (assembler.c:293-299)
             codes[b] = CODE_NOALGN;
             if (fmt) counters[2]++;
-            continue;
+            return 0;
         }
         obest[b] = best;
         oscr[0] = (int32_t) besto;
@@ -1002,24 +1013,24 @@ long psq_finalize(
         oscr[3] = (int32_t) ovl_mm;
         if (fmt == 0) {
             codes[b] = CODE_OK;  // caller applies threshold/modules
-            continue;
+            return 0;
         }
         if (quality < threshold) {
             codes[b] = CODE_LOWQ;
             counters[1]++;
-            continue;
+            return 0;
         }
         codes[b] = CODE_OK;
         counters[0]++;
         if (besto >= 0 && besto < hist_cap) hist[besto]++;
-        if (seq_len == 0) continue;  // counted, no bytes (output.c:89-91)
+        if (seq_len == 0) return 0;  // counted, no bytes (output.c:89-91)
         // ---- emit (output.c:64-112 fast path) ----
         const char *sid = ids + b * id_stride;
         long sidlen = (long) strlen(sid);
         long need = 1 + sidlen + 1 + 32 + 1 + seq_len + 1
             + (fmt == 2 ? seq_len + 3 : 0);
-        if (plen_out + need > payload_cap) return -1;
-        uint8_t *w = payload + plen_out;
+        if (need > pay_cap) return -1;
+        uint8_t *w = pay;
         *w++ = fmt == 2 ? '@' : '>';
         memcpy(w, sid, sidlen);
         w += sidlen;
@@ -1034,7 +1045,20 @@ long psq_finalize(
                 *w++ = phtbl[(uint16_t) pidx[j]];
         }
         *w++ = '\n';
-        plen_out = w - payload;
+        return w - pay;
+    };
+    if (fmt == 0) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (long b = 0; b < B; b++) do_pair(b, nullptr, 0);
+    } else {
+        for (long b = 0; b < B; b++) {
+            long wr = do_pair(b, payload + plen_out,
+                              payload_cap - plen_out);
+            if (wr < 0) { plen_out = -1; break; }
+            plen_out += wr;
+        }
     }
     return plen_out;
 }

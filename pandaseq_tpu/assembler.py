@@ -370,12 +370,62 @@ class BatchAssembler:
         dev = self._dispatch(st)
         return self._finalize(st, dev)
 
-    def assemble_stream(self, pair_batches, depth: int = 3):
+    def _threaded_pipeline(self, pair_batches, fin, depth: int):
+        """Two-stage host pipeline: the main thread runs _pre/_dispatch
+        (keeping ``depth`` batches in flight on the device), one FIFO
+        worker thread waits for each device->host transfer and runs
+        ``fin`` (so counter updates, stateful modules and output order
+        stay sequential) — the reference's reader-thread + worker-pool
+        overlap (async.c, pool.c) as pipeline stages. (A deeper
+        fetch/finalize split measured slower on small hosts: thread
+        contention outweighs the overlap.) The finally-block finalizes
+        every dispatched batch even when the consumer stops iterating
+        mid-stream."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1)
+        q = deque()  # (st, dev) in flight on device
+        futs = deque()
+
+        try:
+            for pairs in pair_batches:
+                st = self._pre(pairs)
+                dev = self._dispatch(st)
+                q.append((st, dev))
+                if len(q) > depth:
+                    futs.append(ex.submit(fin, *q.popleft()))
+                while len(futs) > 2:
+                    yield futs.popleft().result()
+            while q:
+                futs.append(ex.submit(fin, *q.popleft()))
+            while futs:
+                yield futs.popleft().result()
+        finally:
+            while q:
+                futs.append(ex.submit(fin, *q.popleft()))
+            while futs:
+                try:
+                    futs.popleft().result()
+                except Exception:
+                    pass
+            ex.shutdown(wait=True)
+
+    def assemble_stream(self, pair_batches, depth: int = 3,
+                        threaded: bool = False):
         """Pipelined driver: yields one result list per input batch,
         keeping up to ``depth`` batches in flight on the device before
         finalizing the oldest (the async-reader/pool overlap of the
-        reference, async.c/pool.c, as device/host overlap)."""
+        reference, async.c/pool.c, as device/host overlap). With
+        ``threaded`` the transfer wait and the host finalization run on
+        separate FIFO worker threads."""
         from collections import deque
+        if threaded:
+            def fin(st0, plane):
+                return st0["pairs"], self._finalize(st0, plane)
+
+            yield from self._threaded_pipeline(pair_batches, fin, depth)
+            return
         q = deque()
         for pairs in pair_batches:
             st = self._pre(pairs)
@@ -793,36 +843,10 @@ class BatchAssembler:
                 return st0["pairs"], codes, payload, extras
             return st0["pairs"], codes, payload
 
-        q = deque()
         if threaded:
-            from concurrent.futures import ThreadPoolExecutor
-            ex = ThreadPoolExecutor(1)
-            futs = deque()
-            try:
-                for pairs in pair_batches:
-                    stt = self._pre(pairs)
-                    dev = self._dispatch(stt)
-                    q.append((stt, dev))
-                    if len(q) > depth:
-                        futs.append(ex.submit(fin, *q.popleft()))
-                    while len(futs) > 2:
-                        yield futs.popleft().result()
-                while q:
-                    futs.append(ex.submit(fin, *q.popleft()))
-                while futs:
-                    yield futs.popleft().result()
-            finally:
-                # finalize every dispatched batch so counters stay
-                # complete even when the consumer stops mid-stream
-                while q:
-                    futs.append(ex.submit(fin, *q.popleft()))
-                while futs:
-                    try:
-                        futs.popleft().result()
-                    except Exception:
-                        pass
-                ex.shutdown(wait=True)
+            yield from self._threaded_pipeline(pair_batches, fin, depth)
             return
+        q = deque()
         for pairs in pair_batches:
             stt = self._pre(pairs)
             dev = self._dispatch(stt)

@@ -521,7 +521,11 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
     else:
         import copy as _copy
         prev_snap = _copy.deepcopy(asm.counters) if vcounters else None
-        for pairs, results in asm.assemble_stream(prefetch(batches())):
+        # the worker-thread finalize overlaps the device pipeline, but
+        # per-batch counter snapshots (-T > 1) need the main thread to
+        # observe counters between batches -> keep those runs unthreaded
+        for pairs, results in asm.assemble_stream(
+                prefetch(batches()), threaded=vcounters is None):
             if vcounters is not None:
                 cur, p = asm.counters, prev_snap
                 delta = [cur.ok - p.ok, cur.lowq - p.lowq,

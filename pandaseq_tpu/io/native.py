@@ -41,8 +41,8 @@ def build(force: bool = False) -> str | None:
     if (not force and os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO,
-           _SRC, "-lz", _find_bz2()]
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+           "-o", _SO, _SRC, "-lz", _find_bz2()]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):

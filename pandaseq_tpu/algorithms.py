@@ -16,7 +16,7 @@ A custom algorithm subclasses :class:`Algorithm` and provides:
   * ``prob_unpaired``          — the floor constant
 
 Custom algorithms run through the exact host path (the oracle); the
-seven built-ins additionally have batched device kernels (ops/fused.py).
+seven built-ins additionally have batched device kernels (ops/fused2.py).
 
 Example (the algo_example.c skeleton)::
 

@@ -591,6 +591,48 @@ void psq_primer_align(const int8_t *nt, const double *p, const double *np_,
     }
 }
 
+// Emit-only pass over arrays produced by psq_finalize(fmt=0): builds
+// the FASTA (fmt 1) / FASTQ (fmt 2) payload for rows with emit_mask
+// set, in batch order (output.c:85-126). Used by the batched module
+// fast path, where python computes the module verdict masks between
+// reconstruction and emission. Returns payload length or -1 on
+// overflow.
+long psq_emit(const uint8_t *ascii, const int16_t *pidx,
+              const int32_t *seq_len, const double *quality,
+              const uint8_t *emit_mask, long B, long L2cap,
+              const char *ids, long id_stride, const uint8_t *phtbl,
+              int fmt, uint8_t *payload, long payload_cap) {
+    long plen_out = 0;
+    for (long b = 0; b < B; b++) {
+        if (!emit_mask[b]) continue;
+        long n = seq_len[b];
+        if (n == 0) continue;  // counted, no bytes (output.c:89-91)
+        const char *sid = ids + b * id_stride;
+        long sidlen = (long) strlen(sid);
+        long need = 1 + sidlen + 1 + 32 + 1 + n + 1
+            + (fmt == 2 ? n + 3 : 0);
+        if (plen_out + need > payload_cap) return -1;
+        uint8_t *w = payload + plen_out;
+        *w++ = fmt == 2 ? '@' : '>';
+        memcpy(w, sid, sidlen);
+        w += sidlen;
+        *w++ = ';';
+        w += sprintf((char *) w, "%f", exp(quality[b]));
+        *w++ = '\n';
+        memcpy(w, ascii + b * L2cap, n);
+        w += n;
+        if (fmt == 2) {
+            *w++ = '\n'; *w++ = '+'; *w++ = '\n';
+            const int16_t *pr = pidx + b * L2cap;
+            for (long j = 0; j < n; j++)
+                *w++ = phtbl[(uint16_t) pr[j]];
+        }
+        *w++ = '\n';
+        plen_out = w - payload;
+    }
+    return plen_out;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

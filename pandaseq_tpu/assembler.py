@@ -287,6 +287,30 @@ def _compute_offsets_vec(threshold, penalty, reverse, nt, probs, notprobs,
     return np.where(seq_len < plen, 0, result).astype(np.int64)
 
 
+class ResultBatchView:
+    """Columnar view over one batch's reconstructed results, consumed
+    by vectorized module checks (Module.check_batch) — semantically the
+    fields of panda_result_seq, one array per field."""
+
+    def __init__(self, st, r, ptbl):
+        osc = r["osc"]
+        self.overlap = osc[:, 0].astype(np.int64)
+        self.sequence_length = osc[:, 1].astype(np.int64)
+        self.degenerates = osc[:, 2].astype(np.int64)
+        self.overlap_mismatches = osc[:, 3].astype(np.int64)
+        self.overlaps_examined = osc[:, 4].astype(np.int64)
+        self.quality = r["quality"]
+        self.estimated_overlap_probability = r["best"]
+        self.forward_length = st["flen"]
+        self.reverse_length = st["rlen"]
+        self._pidx = r["pidx"]
+        self._ptbl = ptbl
+
+    def p(self):
+        """[B, L2] per-base f64 log probabilities (PTBL-gathered)."""
+        return self._ptbl[self._pidx]
+
+
 @dataclass
 class Counters:
     """The reference's per-assembler STAT counters (pool.c:83-104)."""
@@ -627,6 +651,14 @@ class BatchAssembler:
             return self._finalize_py(st, plane, emit)
         fb = self._resolve_fallbacks(st, plane)
         fmt = 0 if emit is None else (2 if emit == "fastq" else 1)
+        if emit is not None and self.modules:
+            # batched module path: reconstruct to arrays, vectorized
+            # module verdicts, then the native emit-only pass
+            r = _native.finalize(
+                st["batch"], st["skip"], st["fo"], st["ro"], plane,
+                self.SL, fb, self._algo_params, self._cfg_params,
+                self._ptbl, self._phtbl, 0, want_arrays=True)
+            return self._emit_with_modules(st, r, fmt)
         r = _native.finalize(
             st["batch"], st["skip"], st["fo"], st["ro"], plane, self.SL,
             fb, self._algo_params, self._cfg_params, self._ptbl,
@@ -635,6 +667,72 @@ class BatchAssembler:
         if emit is not None:
             return self._emit_from_native(st, r, emit)
         return self._results_from_native(st, r)
+
+    def _emit_with_modules(self, st, r, fmt):
+        """Emit fast path with vectorized filter modules: threshold
+        (assembler.c:334) then module checks in chain order
+        (assembler.c:339, first rejection wins, per-module rejected
+        tallies) computed as batch masks; payload via psq_emit."""
+        from .io import native as _native
+        c = self.counters
+        codes = r["codes"]
+        osc = r["osc"]
+        B = len(codes)
+        slow_n = int(((osc[:, 5] & 2) != 0).sum())
+        c.slow += slow_n
+        c.badread += int((codes == 1).sum())
+        c.nofp += int((codes == 3).sum())
+        c.norp += int((codes == 4).sum())
+        noalgn = int((codes == 5).sum())
+        recon_ok = codes == 0
+        lowq = recon_ok & (r["quality"] < self.cfg.threshold)
+        c.lowq += int(lowq.sum())
+        sel = recon_ok & ~lowq
+        view = ResultBatchView(st, r, self._ptbl)
+        module_rej = np.zeros(B, dtype=bool)
+        for mod in self.modules:
+            if mod.check_batch is None:
+                continue
+            ok_mask = np.asarray(mod.check_batch(view, sel))
+            rej = sel & ~ok_mask
+            nrej = int(rej.sum())
+            if nrej:
+                mod.rejected += nrej
+                module_rej |= rej
+                sel = sel & ok_mask
+        c.noalgn += noalgn
+        n_ok = int(sel.sum())
+        c.ok += n_ok
+        hist = np.bincount(osc[sel, 0], minlength=1)
+        for o in np.flatnonzero(hist):
+            c.overlaps[int(o)] = c.overlaps.get(int(o), 0) + int(hist[o])
+        payload = _native.emit(
+            r["ascii"], r["pidx"], osc[:, 1], r["quality"],
+            sel.view(np.uint8), st["batch"].ids_bytes(), self._phtbl,
+            fmt)
+        out = [None] * B
+        sids = st["batch"].sids
+        for b in range(B):
+            if sel[b]:
+                out[b] = ("OK", None)
+            elif module_rej[b]:
+                out[b] = ("MODULE", None)
+            elif lowq[b]:
+                res = OracleResult()
+                res.quality = float(r["quality"][b])
+                res.sid = sids[b]
+                out[b] = ("LOWQ", res)
+            else:
+                out[b] = (_CODE_NAMES[codes[b]], None)
+        cc = np.array([n_ok, int(lowq.sum()), noalgn,
+                       int((codes == 1).sum()), int((codes == 3).sum()),
+                       int((codes == 4).sum()), slow_n], dtype=np.int64)
+        hist_full = np.zeros(1024, dtype=np.int64)
+        hist_full[:len(hist)] = hist
+        extras = dict(scored=(osc[:, 5] & 1) != 0,
+                      overlap=osc[:, 0].astype(np.int64),
+                      counters_delta=cc, hist_delta=hist_full)
+        return out, payload, extras
 
     def _emit_from_native(self, st, r, emit):
         """Fast path: counters + payload straight from psq_finalize."""
@@ -827,14 +925,17 @@ class BatchAssembler:
                     depth: int = 4, with_extras: bool = False,
                     threaded: bool = False):
         """Pipelined fast path yielding (pairs, codes, payload_bytes[,
-        extras]) per batch. Requires no filter modules and pre-assembly
-        primers.
+        extras]) per batch. Requires pre-assembly primers; filter
+        modules are allowed when every check-stage module has a
+        vectorized ``check_batch`` (all built-ins do).
 
         With ``threaded`` the host finalization runs on one worker
         thread (FIFO, so counter updates and batch order stay
         sequential) overlapping the next batch's dispatch/transfer —
         the pool.c worker/reader overlap, host-side."""
-        assert not self.modules and not self.cfg.post_primers
+        assert not self.cfg.post_primers
+        assert all(m.check is None or m.check_batch is not None
+                   for m in self.modules)
         from collections import deque
 
         def fin(st0, dev0):

@@ -492,8 +492,14 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                 vc.overlaps[int(o)] = vc.overlaps.get(int(o), 0) \
                     + int(hist[o])
 
-    use_emit = (not c.modules and not c.cfg.post_primers
-                and debug_replay is None)
+    # the byte-emission fast path also covers filter-module configs
+    # when every check-stage module has a vectorized check_batch (all
+    # built-ins do); custom python modules fall to the general path
+    from ..io import native as _native_mod
+    use_emit = (not c.cfg.post_primers and debug_replay is None
+                and _native_mod.get_lib() is not None
+                and all(m.check is None or m.check_batch is not None
+                        for m in c.modules))
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
         for pairs, codes, payload, extras in asm.emit_stream(

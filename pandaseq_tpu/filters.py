@@ -35,11 +35,16 @@ class Module:
     """A loaded filter module (pandaseq-module.h)."""
 
     def __init__(self, name: str, precheck=None, check=None, destroy=None,
-                 args: str | None = None, api: int = 3):
+                 args: str | None = None, api: int = 3, check_batch=None):
         self.name = name
         self.precheck = precheck  # (sid, fwd_nt, fwd_q, flen, rev_nt,
         #                            rev_q, rlen) -> bool
         self.check = check  # (result) -> bool
+        # optional vectorized form: (ResultBatchView, sel_mask) ->
+        # bool[B]; semantically identical to mapping ``check`` over the
+        # selected rows — lets module configurations ride the batched
+        # emit fast path (assembler._emit_from_native)
+        self.check_batch = check_batch
         self.destroy = destroy
         self.args = args
         self.api = api
@@ -87,7 +92,14 @@ def _open_min_phred(args, logger):
         ph = result_phred(res.sequence_p[:res.sequence_length])
         return bool(np.all(ph >= value))
 
-    return Module("min_phred", check=check, args=args)
+    def check_batch(view, sel):
+        ph = result_phred(view.p())  # [B, L2]
+        pos = np.arange(ph.shape[1])[None, :]
+        masked = (ph >= value) | (pos >= view.sequence_length[:, None])
+        return masked.all(axis=1)
+
+    return Module("min_phred", check=check, args=args,
+                  check_batch=check_batch)
 
 
 def _open_min_overlapbits(args, logger):
@@ -108,7 +120,10 @@ def _open_min_overlapbits(args, logger):
     def check(res):
         return bits_saved <= res.estimated_overlap_probability
 
-    return Module("min_overlapbits", check=check, args=args)
+    return Module(
+        "min_overlapbits", check=check, args=args,
+        check_batch=lambda view, sel:
+            bits_saved <= view.estimated_overlap_probability)
 
 
 def _open_empty(args, logger):
@@ -116,7 +131,8 @@ def _open_empty(args, logger):
     if args:
         logger.write_str("No arguments allowed to empty filter.")
         raise ModuleError("empty")
-    return Module("empty", check=lambda res: res.sequence_length > 0)
+    return Module("empty", check=lambda res: res.sequence_length > 0,
+                  check_batch=lambda view, sel: view.sequence_length > 0)
 
 
 def _open_completely_miss_the_point(args, logger):
@@ -132,7 +148,10 @@ def _open_completely_miss_the_point(args, logger):
         logger.write_str("Bad maximum allowed mismatches.\n")
         raise ModuleError("completely_miss_the_point")
     return Module("completely_miss_the_point",
-                  check=lambda res: res.overlap_mismatches <= mm, args=args)
+                  check=lambda res: res.overlap_mismatches <= mm,
+                  args=args,
+                  check_batch=lambda view, sel:
+                      view.overlap_mismatches <= mm)
 
 
 def _open_validtag(args, logger):
@@ -287,7 +306,14 @@ def _open_overlap_stat(args, logger):
         logger.write_str("STAT\tEXAMINED "
                          + " ".join(str(int(c)) for c in counts[:mx + 1]))
 
-    return Module("overlap_stat", check=check, destroy=destroy)
+    def check_batch(view, sel):
+        ex = view.overlaps_examined[sel]
+        ex = ex[ex > 0]
+        np.add.at(counts, np.minimum(ex - 1, MAX_LEN - 1), 1)
+        return np.ones(len(view.overlaps_examined), dtype=bool)
+
+    return Module("overlap_stat", check=check, destroy=destroy,
+                  check_batch=check_batch)
 
 
 def _open_pear_test(args, logger):
@@ -340,7 +366,43 @@ def _open_pear_test(args, logger):
             i += 1
         return cutoff > 1 - product * product
 
-    return Module("pear_test", check=check, args=args)
+    def check_batch(view, sel):
+        """Vectorized: the same ascending-i f64 product (multiply.reduceat
+        applies the ufunc left-to-right within each segment, matching
+        the C loop's order) over memoized exact binomial partial
+        sums."""
+        B = len(view.overlap)
+        out = np.ones(B, dtype=bool)
+        rows = np.flatnonzero(sel)
+        if len(rows) == 0:
+            return out
+        o = view.overlap[rows].astype(np.int64)
+        mmx = view.overlap_mismatches[rows].astype(np.int64)
+        hi = np.minimum(view.forward_length[rows],
+                        view.reverse_length[rows]).astype(np.int64)
+        oes = alpha * (o - mmx) + beta * mmx
+        n_i = np.maximum(hi - o, 0)
+        prod = np.ones(len(rows), dtype=np.float64)
+        nz = np.flatnonzero(n_i > 0)
+        if len(nz):
+            o2, n2, oes2 = o[nz], n_i[nz], oes[nz]
+            seg_starts = np.cumsum(n2) - n2
+            offs = np.arange(int(n2.sum())) - np.repeat(seg_starts, n2)
+            ii = np.repeat(o2, n2) + offs
+            l_i = np.ceil((np.repeat(oes2, n2) - beta * ii)
+                          / (alpha - beta)).astype(np.int64) - 1
+            # memoize exact sums for the distinct (i, l_i) pairs;
+            # l_i <= i <= MAX_LEN, negatives clamp (empty sum -> 0.0)
+            keys = ii * 2048 + np.clip(l_i, -1, 2046) + 1
+            uniq, inv = np.unique(keys, return_inverse=True)
+            vals = np.array([_sum(int(k) // 2048, int(k) % 2048 - 1)
+                             for k in uniq], dtype=np.float64)
+            prod[nz] = np.multiply.reduceat(vals[inv], seg_starts)
+        out[rows] = cutoff > 1 - prod * prod
+        return out
+
+    return Module("pear_test", check=check, args=args,
+                  check_batch=check_batch)
 
 
 def _open_sample(args, logger):
@@ -352,18 +414,23 @@ def _open_sample(args, logger):
 
 def degenerates_module() -> Module:
     """-N: no degenerate bases in output (args_assembler.c:106-153)."""
-    return Module("DEGENERATE", check=lambda res: res.degenerates == 0)
+    return Module("DEGENERATE", check=lambda res: res.degenerates == 0,
+                  check_batch=lambda view, sel: view.degenerates == 0)
 
 
 def short_module(minlen: int) -> Module:
     """-l: minimum output length (args_assembler.c:233-266)."""
     return Module("SHORT",
-                  check=lambda res: res.sequence_length >= minlen)
+                  check=lambda res: res.sequence_length >= minlen,
+                  check_batch=lambda view, sel:
+                      view.sequence_length >= minlen)
 
 
 def long_module(maxlen: int) -> Module:
     """-L: maximum output length (args_assembler.c:268-303)."""
-    return Module("LONG", check=lambda res: res.sequence_length <= maxlen)
+    return Module("LONG", check=lambda res: res.sequence_length <= maxlen,
+                  check_batch=lambda view, sel:
+                      view.sequence_length <= maxlen)
 
 
 REGISTRY = {

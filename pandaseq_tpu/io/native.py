@@ -91,6 +91,12 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,     # ascii,pidx,L2
         ctypes.c_void_p, ctypes.c_long,                      # payload
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]     # counters,hist
+    lib.psq_emit.restype = ctypes.c_long
+    lib.psq_emit.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
     lib.psq_stream_flags.restype = ctypes.c_int
     lib.psq_stream_flags.argtypes = [ctypes.c_void_p]
     lib.psq_close.argtypes = [ctypes.c_void_p]
@@ -164,6 +170,29 @@ def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty,
         qs.ctypes.data, qe.ctypes.data, out.ctypes.data,
         1 if rev_scan else 0)
     return out
+
+
+def emit(ascii_arr, pidx_arr, seq_len, quality, emit_mask, ids, phtbl,
+         fmt):
+    """Payload bytes for the selected rows (psq_emit; output.c:85-126).
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, L2cap = ascii_arr.shape
+    sl32 = np.ascontiguousarray(seq_len, np.int32)
+    q64 = np.ascontiguousarray(quality, np.float64)
+    em8 = np.ascontiguousarray(emit_mask, np.uint8)
+    cap = B * (ids.shape[1] + 2 * 928 + 64)
+    payload = np.empty(cap, dtype=np.uint8)
+    n = lib.psq_emit(ascii_arr.ctypes.data, pidx_arr.ctypes.data,
+                     sl32.ctypes.data, q64.ctypes.data, em8.ctypes.data,
+                     B, L2cap, ids.ctypes.data, ids.shape[1],
+                     phtbl.ctypes.data, int(fmt), payload.ctypes.data,
+                     cap)
+    if n < 0:
+        raise RuntimeError("psq_emit payload overflow")
+    return bytes(payload[:n])
 
 
 # psq_finalize verdict code ids

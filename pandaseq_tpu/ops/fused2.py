@@ -353,6 +353,38 @@ def _shortlist_core(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *, L, O,
     static_argnames=("L", "O", "SL", "minoverlap", "maxoverlap",
                      "num_kmers", "algo_kind", "pmatch", "pmismatch",
                      "nn", "nn_term", "band"))
+def assemble_shortlist_packed(plane, flen, rlen, fo, ro, *,
+                              L: int, O: int | None = None,
+                              SL: int = SHORTLIST, minoverlap: int = 2,
+                              maxoverlap: int = 0, num_kmers: int = 2,
+                              algo_kind: str = "counts",
+                              pmatch: float = 0.0, pmismatch: float = 0.0,
+                              nn: float = float(
+                                  tables.QUAL_NN_SIMPLE_BAYESIAN),
+                              nn_term: float = 0.0,
+                              band: float | None = None,
+                              lut_match=None, lut_mismatch=None):
+    """Single-upload LUT variant: ``plane`` is [B, 3*L] int8 columns
+    [nt_pack | fr_q | rr_q]. The wire charges a fixed per-array RPC on
+    each non-tiny jit argument (~18 ms on the dev tunnel), so the three
+    byte planes ship as one argument; lane-slicing them apart on device
+    is free (no relayout — measured vs bitcast/reshape variants)."""
+    nt_pack = plane[:, :L]
+    fr_q = plane[:, L:2 * L]
+    rr_q = plane[:, 2 * L:3 * L]
+    return _shortlist_core(
+        nt_pack, fr_q, rr_q, flen, rlen, fo, ro, L=L, O=O, SL=SL,
+        minoverlap=minoverlap, maxoverlap=maxoverlap,
+        num_kmers=num_kmers, algo_kind=algo_kind, pmatch=pmatch,
+        pmismatch=pmismatch, nn=nn, nn_term=nn_term, band=band,
+        lut_match=lut_match, lut_mismatch=lut_mismatch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "O", "SL", "minoverlap", "maxoverlap",
+                     "num_kmers", "algo_kind", "pmatch", "pmismatch",
+                     "nn", "nn_term", "band"))
 def assemble_shortlist(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *,
                        L: int, O: int | None = None, SL: int = SHORTLIST,
                        minoverlap: int = 2, maxoverlap: int = 0,

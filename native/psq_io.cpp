@@ -27,6 +27,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <vector>
 
 #include <zlib.h>
 
@@ -111,6 +112,40 @@ struct Stream {
         }
         return 0;
     }
+    // arena variant of next_line: appends the line + '\0' to `arena`
+    // and returns its start offset, or SIZE_MAX at EOF. Same CR-strip
+    // and final-unterminated-line semantics as next_line.
+    size_t next_line_arena(std::vector<char> &arena) {
+        size_t start = arena.size();
+        for (;;) {
+            if (buf_pos >= buf_len) {
+                if (eof) break;
+                buf_len = raw_read(buf, sizeof buf);
+                buf_pos = 0;
+                if (buf_len <= 0) {
+                    eof = true;
+                    break;
+                }
+            }
+            char *nl = (char *) memchr(buf + buf_pos, '\n',
+                                       buf_len - buf_pos);
+            if (nl) {
+                arena.insert(arena.end(), buf + buf_pos, nl);
+                buf_pos = (int) (nl - buf) + 1;
+                if (arena.size() > start && arena.back() == '\r')
+                    arena.pop_back();
+                arena.push_back('\0');
+                return start;
+            }
+            arena.insert(arena.end(), buf + buf_pos, buf + buf_len);
+            buf_pos = buf_len;
+        }
+        if (arena.size() == start) return SIZE_MAX;
+        if (arena.back() == '\r') arena.pop_back();
+        arena.push_back('\0');
+        return start;
+    }
+
     // next line without trailing \n / \r\n; nullptr at EOF
     const char *next_line() {
         line.clear();
@@ -371,6 +406,267 @@ int read_seq(Stream &s, const int8_t *table, int8_t *nt_buf, int8_t *q_buf,
     return pos;  // pos == 0 -> NODATA handled by caller
 }
 
+// read_seq on pre-collected lines (nullptr = stream ended before that
+// line) — bitwise the same state machine, decoding into caller-local
+// natural-order buffers so records can parse in parallel.
+int parse_seq_lines(const char *seq_line, const char *plus_line,
+                    const char *qual_line, const int8_t *table,
+                    int8_t *nt_buf, int8_t *q_buf, int max_len,
+                    int qualmin, bool *seen_under_64) {
+    const char *input = seq_line;
+    if (input == nullptr) return -ERR_EOF;
+    int pos = 0;
+    for (; *input != '\0' && pos < max_len; input++) {
+        int8_t code = table[*input & 0x1F];
+        if (code == 0) return -ERR_BADNT;
+        nt_buf[pos++] = code;
+    }
+    input = plus_line;
+    if (input == nullptr) return -ERR_EOF;
+    if (*input != '+')
+        return table[*input & 0x1F] != 0 ? -ERR_READLEN : -ERR_BADSEQ;
+    input = qual_line;
+    if (input == nullptr) return -ERR_EOF;
+    int qpos = 0;
+    for (; *input != '\0'; input++) {
+        if (*input < 64) *seen_under_64 = true;
+        if (qpos < max_len) q_buf[qpos] = (int8_t) toindex(
+            (unsigned char) *input, qualmin);
+        qpos++;
+    }
+    if (qpos != pos) return -ERR_NOQUAL;
+    return pos;
+}
+
+// one record's pre-collected line offsets (SIZE_MAX = missing)
+struct RecLines {
+    size_t f[4], rv[4], ix[4];
+};
+
+// one record's parallel-parse outcome
+struct RecOut {
+    int status = 0;  // 0 ok, 1 NODATA skip, 2 clean EOF, <0: -ErrCode
+    int fl = 0, rl = 0;
+    bool seen64 = false;   // seen_under_64 contributions, stage-ordered
+    bool reached = false;  // got past id/seq parsing (non_empty)
+};
+
+// Parallel batched decode for the rev_layout path: phase 1 collects
+// raw lines serially (the streams are sequential), phase 2 parses and
+// writes provisional rows in parallel (records are independent —
+// OpenMP), phase 3 walks records in order to apply the sequential
+// semantics: first-error termination, stream flags, NODATA row
+// compaction, and the persistent-quality-buffer stale tails
+// (fastq.c:33-36 — the PEAR quirk reads quality bytes past the read
+// length from whatever the previous records left there).
+long next_batch_parallel(PairReader *r, long batch, long stride,
+                         int8_t *fwd_nt, int8_t *fwd_q, int8_t *rev_nt,
+                         int8_t *rev_q, int32_t *flen, int32_t *rlen,
+                         char *ids, long id_stride, int8_t *nt_pack) {
+    long n = 0;
+    std::vector<char> arena;
+    std::vector<RecLines> lines;
+    std::vector<RecOut> recs;
+    while (n < batch && !r->error) {
+        long want = batch - n;
+        arena.clear();
+        lines.clear();
+        arena.reserve((size_t) want * (r->has_index ? 1700 : 1200));
+        // ---- phase 1: serial line collection, pulling in the exact
+        // order the sequential reader consumes (fwd id, rev id, fwd
+        // seq/+/qual, rev seq/+/qual, index quartet) and stopping at
+        // the first EOF so leftover lines stay unconsumed for the next
+        // call — the post-truncation behavior (clean stop vs BADID on
+        // a leftover seq line) must match the one-record-at-a-time
+        // reference reader byte-for-byte.
+        for (long k = 0; k < want; k++) {
+            RecLines RL;
+            for (int t = 0; t < 4; t++)
+                RL.f[t] = RL.rv[t] = RL.ix[t] = SIZE_MAX;
+            bool short_rec = false;
+            auto pull = [&](Stream &s, size_t &slot) {
+                if (short_rec) return;
+                slot = s.next_line_arena(arena);
+                if (slot == SIZE_MAX) short_rec = true;
+            };
+            pull(r->fwd, RL.f[0]);
+            if (RL.f[0] == SIZE_MAX) break;  // clean EOF before record
+            pull(r->rev, RL.rv[0]);
+            for (int t = 1; t < 4; t++) pull(r->fwd, RL.f[t]);
+            for (int t = 1; t < 4; t++) pull(r->rev, RL.rv[t]);
+            if (r->has_index)
+                for (int t = 0; t < 4; t++) pull(r->idx, RL.ix[t]);
+            lines.push_back(RL);
+            if (short_rec) break;  // some stream ended mid-record
+        }
+        long nrec = (long) lines.size();
+        if (nrec == 0) break;
+        recs.assign(nrec, RecOut());
+        const char *A = arena.data();
+        // ---- phase 2: parallel parse + provisional row writes
+#pragma omp parallel for schedule(static) if (nrec > 32)
+        for (long k = 0; k < nrec; k++) {
+            RecOut &o = recs[k];
+            const RecLines &RL = lines[k];
+            long row = n + k;
+            auto Lx = [&](size_t off) -> const char * {
+                return off == SIZE_MAX ? nullptr : A + off;
+            };
+            SeqId fid, rid;
+            bool fdk, rdk, f17, r17;
+            int fdir = seqid_parse(&fid, Lx(RL.f[0]) + 1, r->policy,
+                                   &fdk, &f17);
+            if (fdir == 0) {
+                o.status = -ERR_BADID;
+                continue;
+            }
+            const char *rid_line = Lx(RL.rv[0]);
+            if (rid_line == nullptr) {
+                o.status = 2;  // clean EOF mid-record (fastq.c caller)
+                continue;
+            }
+            int rdir = seqid_parse(&rid, rid_line + 1, r->policy, &rdk,
+                                   &r17);
+            if (rdir == 0) {
+                o.status = -ERR_BADID;
+                continue;
+            }
+            if (!fid.equal(rid) || (fdk && rdir == fdir)) {
+                o.status = -ERR_NOTPAIRED;
+                continue;
+            }
+            if (f17) o.seen64 = true;
+            int8_t fnt[MAX_LEN], fq[MAX_LEN], rnt[MAX_LEN], rq[MAX_LEN];
+            int fl = parse_seq_lines(Lx(RL.f[1]), Lx(RL.f[2]),
+                                     Lx(RL.f[3]), IUPAC_FWD, fnt, fq,
+                                     MAX_LEN, r->qualmin, &o.seen64);
+            if (fl < 0) {
+                o.status = fl;
+                continue;
+            }
+            int rl = parse_seq_lines(Lx(RL.rv[1]), Lx(RL.rv[2]),
+                                     Lx(RL.rv[3]), IUPAC_REV, rnt, rq,
+                                     MAX_LEN, r->qualmin, &o.seen64);
+            if (rl < 0) {
+                o.status = rl;
+                continue;
+            }
+            if (r->has_index) {  // barcode read -> tag (fastq.c:159-188)
+                const char *iline = Lx(RL.ix[0]);
+                if (iline == nullptr) {
+                    o.status = 2;
+                    continue;
+                }
+                SeqId iid;
+                bool idk, i17;
+                int idir = seqid_parse(&iid, iline + 1, r->policy, &idk,
+                                       &i17);
+                if (idir == 0) {
+                    o.status = -ERR_BADID;
+                    continue;
+                }
+                if (!fid.equal(iid)) {
+                    o.status = -ERR_NOTPAIRED;
+                    continue;
+                }
+                int8_t tnt[TAG_LEN], tq[TAG_LEN];
+                int tl = parse_seq_lines(Lx(RL.ix[1]), Lx(RL.ix[2]),
+                                         Lx(RL.ix[3]), IUPAC_FWD, tnt,
+                                         tq, TAG_LEN - 1, r->qualmin,
+                                         &o.seen64);
+                if (tl < 0) {
+                    o.status = tl;
+                    continue;
+                }
+                for (int t = 0; t < tl; t++)
+                    fid.tag[t] = NT_ASCII[tnt[t] & 0x0F];
+                fid.tag[tl] = 0;
+            }
+            o.reached = true;
+            if (fl == 0) {
+                o.status = 1;  // NODATA: skip record (fastq.c:191)
+                continue;
+            }
+            o.status = 0;
+            o.fl = fl;
+            o.rl = rl;
+            // reversed left-aligned rows; quality tails [len, MAX_LEN)
+            // are filled from the persistent buffers in phase 3
+            int8_t *dst = fwd_nt + row * stride;
+            for (int j = 0; j < fl; j++) dst[j] = fnt[fl - 1 - j];
+            memset(dst + fl, 0, stride - fl);
+            dst = fwd_q + row * stride;
+            for (int j = 0; j < fl; j++) dst[j] = fq[fl - 1 - j];
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            dst = rev_nt + row * stride;
+            for (int j = 0; j < rl; j++) dst[j] = rnt[rl - 1 - j];
+            memset(dst + rl, 0, stride - rl);
+            dst = rev_q + row * stride;
+            for (int j = 0; j < rl; j++) dst[j] = rq[rl - 1 - j];
+            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
+            if (nt_pack != nullptr) {
+                const int8_t *fp = fwd_nt + row * stride;
+                const int8_t *rp = rev_nt + row * stride;
+                int8_t *pp = nt_pack + row * stride;
+                int mx = fl > rl ? fl : rl;
+                for (int j = 0; j < mx; j++)
+                    pp[j] = (int8_t) ((fp[j] & 0x0F)
+                                      | ((rp[j] & 0x0F) << 4));
+                memset(pp + mx, 0, stride - mx);
+            }
+            flen[row] = fl;
+            rlen[row] = rl;
+            fid.print(ids + row * id_stride, (int) id_stride);
+        }
+        // ---- phase 3: sequential semantics in record order
+        long emitted = 0;
+        bool stop = false;
+        for (long k = 0; k < nrec; k++) {
+            RecOut &o = recs[k];
+            if (o.seen64) r->seen_under_64 = true;
+            if (o.reached) r->non_empty = true;
+            if (o.status == 2) {
+                stop = true;
+                break;
+            }
+            if (o.status < 0) {
+                r->error = -o.status;
+                stop = true;
+                break;
+            }
+            if (o.status == 1) continue;  // NODATA skip
+            long src = n + k, dst_row = n + emitted;
+            int8_t *fqrow = fwd_q + src * stride;
+            memcpy(fqrow + o.fl, r->fwd_q + o.fl, MAX_LEN - o.fl);
+            for (int j = 0; j < o.fl; j++)
+                r->fwd_q[j] = fqrow[o.fl - 1 - j];
+            int8_t *rqrow = rev_q + src * stride;
+            memcpy(rqrow + o.rl, r->rev_q + o.rl, MAX_LEN - o.rl);
+            for (int j = 0; j < o.rl; j++)
+                r->rev_q[j] = rqrow[o.rl - 1 - j];
+            if (dst_row != src) {  // compact over skipped records
+                memcpy(fwd_nt + dst_row * stride, fwd_nt + src * stride,
+                       stride);
+                memcpy(fwd_q + dst_row * stride, fqrow, stride);
+                memcpy(rev_nt + dst_row * stride, rev_nt + src * stride,
+                       stride);
+                memcpy(rev_q + dst_row * stride, rqrow, stride);
+                if (nt_pack != nullptr)
+                    memcpy(nt_pack + dst_row * stride,
+                           nt_pack + src * stride, stride);
+                flen[dst_row] = flen[src];
+                rlen[dst_row] = rlen[src];
+                memcpy(ids + dst_row * id_stride, ids + src * id_stride,
+                       id_stride);
+            }
+            emitted++;
+        }
+        n += emitted;
+        if (stop || nrec < want) break;  // error / EOF reached
+    }
+    return n;
+}
+
 }  // namespace
 
 extern "C" {
@@ -418,6 +714,13 @@ long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
     long n = 0;
     *error = r->error;
     if (r->error) return 0;
+    if (rev_layout) {  // production path: OpenMP record-parallel decode
+        n = next_batch_parallel(r, batch, stride, fwd_nt, fwd_q, rev_nt,
+                                rev_q, flen, rlen, ids, id_stride,
+                                nt_pack);
+        *error = r->error;
+        return n;
+    }
     while (n < batch) {
         const char *line = r->fwd.next_line();
         if (line == nullptr) break;  // clean EOF
@@ -483,32 +786,7 @@ long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
         r->non_empty = true;
         if (fl == 0) continue;  // NODATA: skip record (fastq.c:191)
 
-        if (rev_layout) {
-            int8_t *dst = fwd_nt + n * stride;
-            for (int j = 0; j < fl; j++) dst[j] = r->fwd_nt[fl - 1 - j];
-            memset(dst + fl, 0, stride - fl);
-            dst = fwd_q + n * stride;
-            for (int j = 0; j < fl; j++) dst[j] = r->fwd_q[fl - 1 - j];
-            memcpy(dst + fl, r->fwd_q + fl, MAX_LEN - fl);
-            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
-            dst = rev_nt + n * stride;
-            for (int j = 0; j < rl; j++) dst[j] = r->rev_nt[rl - 1 - j];
-            memset(dst + rl, 0, stride - rl);
-            dst = rev_q + n * stride;
-            for (int j = 0; j < rl; j++) dst[j] = r->rev_q[rl - 1 - j];
-            memcpy(dst + rl, r->rev_q + rl, MAX_LEN - rl);
-            memset(dst + MAX_LEN, 0, stride - MAX_LEN);
-            if (nt_pack != nullptr) {
-                int8_t *fp = fwd_nt + n * stride;
-                int8_t *rp = rev_nt + n * stride;
-                int8_t *pp = nt_pack + n * stride;
-                int mx = fl > rl ? fl : rl;
-                for (int j = 0; j < mx; j++)
-                    pp[j] = (int8_t) ((fp[j] & 0x0F)
-                                      | ((rp[j] & 0x0F) << 4));
-                memset(pp + mx, 0, stride - mx);
-            }
-        } else {
+        {
             int8_t *dst = fwd_nt + n * stride;
             memcpy(dst, r->fwd_nt, MAX_LEN);
             memset(dst + MAX_LEN, 0, stride - MAX_LEN);

@@ -351,6 +351,38 @@ class _LazyViews:
             yield _PairView(self._b, i)
 
 
+class _LazyIds:
+    """List-like view over the decoder's raw id-bytes buffer that
+    materializes IdStr objects on first access. The emit fast path
+    consumes ids as raw bytes (ids_bytes -> psq_emit) and touches
+    Python id strings only for rare records (LOWQ logging, debug
+    streams), so eagerly decoding ~1 us/pair of strings per batch
+    would be pure overhead."""
+
+    __slots__ = ("_buf", "_cache")
+
+    def __init__(self, buf):
+        self._buf = buf
+        self._cache = {}
+
+    def __len__(self):
+        return len(self._buf)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        v = self._cache.get(i)
+        if v is None:
+            row = self._buf[i]
+            v = IdStr(row.tobytes().split(b"\0", 1)[0].decode())
+            self._cache[i] = v
+        return v
+
+    def __iter__(self):
+        for i in range(len(self._buf)):
+            yield self[i]
+
+
 POLICY_MAP = {"OPTIONAL": 0, "ABSENT": 1, "PRESENT": 2}
 ID_STRIDE = 416
 
@@ -416,9 +448,8 @@ class NativeBatchReader:
             flen, rlen = flen[:n], rlen[:n]
             ids = ids[:n]
             nt_pack = nt_pack[:n]
-        sids = [IdStr(bytes(row).split(b"\0", 1)[0].decode())
-                for row in ids]
-        b = Batch(sids, fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, None)
+        b = Batch(_LazyIds(ids), fwd_nt, fwd_q, rev_nt, rev_q, flen,
+                  rlen, None)
         b.pairs = _LazyViews(b)
         b._ids_buf = ids
         b._nt_pack = nt_pack

@@ -1114,6 +1114,7 @@ long psq_finalize(
     const int8_t *rr_q, const int32_t *flen_a, const int32_t *rlen_a,
     const int32_t *fo_a, const int32_t *ro_a, const uint8_t *skip,
     long B, long stride, const int32_t *plane, long W, long SL,
+    int plane_kind,
     const uint8_t *fb_mask, const int32_t *fb_besto,
     const uint8_t *fb_aligned, const double *fb_best,
     int algo_id, double pmatch, double pmismatch, double qual_nn,
@@ -1169,8 +1170,6 @@ long psq_finalize(
                  flen_a[b], rlen_a[b]};
         int fo = fo_a[b], ro = ro_a[b];
         const int32_t *row = plane + b * W;
-        long examined = row[2 * SL + 1];
-        // slow: every overlap in range examined (assembler.c:136)
         long maxo = (long) F.flen + F.rlen - minoverlap - fo - ro - 1;
         if (maxoverlap_cfg == 0) {
             long mn = F.flen < F.rlen ? F.flen : F.rlen;
@@ -1178,6 +1177,28 @@ long psq_finalize(
         } else if (maxo > maxoverlap_cfg) {
             maxo = maxoverlap_cfg;
         }
+        // plane_kind 1: candidate bitmask (W 16-bit words over offsets
+        // 1..16W; ops/fused2.py:assemble_candidates_nt) — apply the
+        // range rules + ALL_BITS_IF_NONE here (assembler.c:42,84-118)
+        long cand_hi = maxo < W * 16 ? maxo : W * 16;
+        long cand_lo = minoverlap > 1 ? minoverlap : 1;
+        auto cand = [&](long o) {
+            long k = o - 1;
+            return ((row[k >> 4] >> (k & 15)) & 1) != 0;
+        };
+        bool cand_any = false;
+        long examined;
+        if (plane_kind == 1) {
+            examined = 0;
+            for (long o = cand_lo; o <= cand_hi; o++)
+                if (cand(o)) { cand_any = true; examined++; }
+            if (!cand_any)
+                examined = cand_hi - cand_lo + 1 > 0
+                    ? cand_hi - cand_lo + 1 : 0;
+        } else {
+            examined = row[2 * SL + 1];
+        }
+        // slow: every overlap in range examined (assembler.c:136)
         bool slow = examined == maxo - minoverlap + 1;
         if (slow) {
             oscr[5] |= 2;
@@ -1194,6 +1215,19 @@ long psq_finalize(
             if (fb_aligned[b]) {
                 besto = fb_besto[b];
                 best = fb_best[b];
+            }
+        } else if (plane_kind == 1) {
+            // exact f64 first-strict-max over the candidate offsets,
+            // ascending o — the reference loop itself
+            // (assembler.c:125-134), no shortlist/band indirection
+            for (long o = cand_lo; o <= cand_hi; o++) {
+                if (cand_any && !cand(o)) continue;
+                double pr = score_lut(algo_id, F, (int) o, lut_m,
+                                      lut_mm, nn_term, qual_nn);
+                if (pr > best) {
+                    best = pr;
+                    besto = o;
+                }
             }
         } else {
             // collect (o, m, mm), sort ascending o (<= SL entries)

@@ -574,6 +574,12 @@ class BatchAssembler:
         batch = st["batch"]
         Lb = st["Lb"]
         lut = self._algo_kind in ("pear", "rdp_mle")
+        # sparse LUT path: device ships only the k-mer candidate
+        # bitmask; native finalize scores candidates exactly in f64
+        # (needs the native library; python finalize reads shortlists)
+        from .io import native as _native
+        sparse = lut and _native.get_lib() is not None
+        st["plane_kind"] = 1 if sparse else 0
 
         def cut(a):
             if Lb >= self.L:
@@ -587,12 +593,13 @@ class BatchAssembler:
         # algorithms' three byte planes ship concatenated (measured
         # -5 ms/batch vs three arguments); [B] scalars ride the
         # dispatch inline.
-        if lut:
+        if lut and not sparse:
             plane = np.concatenate(
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
                  cut(batch.rev_q)], axis=1)
         else:
-            # count-based scoring needs no quality arrays on device
+            # count-based scoring (and the sparse LUT candidate step)
+            # needs no quality arrays on device
             plane = np.ascontiguousarray(cut(batch.nt_packed()))
         inputs = (plane, batch.flen, batch.rlen)
         if self.mesh is not None:
@@ -609,7 +616,10 @@ class BatchAssembler:
             pmismatch=self._pmismatch)
         fo32 = st["fo"].astype(np.int32)
         ro32 = st["ro"].astype(np.int32)
-        if lut:
+        if sparse:
+            out = self._fused2.assemble_candidates_nt(
+                *inputs, L=Lb, O=st["O"], num_kmers=cfg.num_kmers)
+        elif lut:
             out = self._fused2.assemble_shortlist_packed(
                 *inputs, fo32, ro32, nn_term=self._nn_term,
                 lut_match=self._lut_m, lut_mismatch=self._lut_mm,
@@ -656,7 +666,15 @@ class BatchAssembler:
         plane = np.asarray(dev)
         if _native.get_lib() is None:
             return self._finalize_py(st, plane, emit)
-        fb = self._resolve_fallbacks(st, plane)
+        pk = st.get("plane_kind", 0)
+        if pk:
+            # sparse LUT path: f64 selection is exact by construction —
+            # no band, no oracle replay
+            B = st["B"]
+            fb = (np.zeros(B, np.uint8), np.zeros(B, np.int32),
+                  np.zeros(B, np.uint8), np.zeros(B, np.float64))
+        else:
+            fb = self._resolve_fallbacks(st, plane)
         fmt = 0 if emit is None else (2 if emit == "fastq" else 1)
         if emit is not None and self.modules:
             # batched module path: reconstruct to arrays, vectorized
@@ -664,13 +682,14 @@ class BatchAssembler:
             r = _native.finalize(
                 st["batch"], st["skip"], st["fo"], st["ro"], plane,
                 self.SL, fb, self._algo_params, self._cfg_params,
-                self._ptbl, self._phtbl, 0, want_arrays=True)
+                self._ptbl, self._phtbl, 0, want_arrays=True,
+                plane_kind=pk)
             return self._emit_with_modules(st, r, fmt)
         r = _native.finalize(
             st["batch"], st["skip"], st["fo"], st["ro"], plane, self.SL,
             fb, self._algo_params, self._cfg_params, self._ptbl,
             self._phtbl, fmt, want_arrays=(fmt == 0),
-            payload_buf=self._payload_buf)
+            payload_buf=self._payload_buf, plane_kind=pk)
         if emit is not None:
             return self._emit_from_native(st, r, emit)
         return self._results_from_native(st, r)

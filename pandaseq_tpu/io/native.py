@@ -81,6 +81,7 @@ def get_lib():
         ctypes.c_void_p,                                     # skip
         ctypes.c_long, ctypes.c_long,                        # B, stride
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,       # plane, W, SL
+        ctypes.c_int,                                        # plane_kind
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
@@ -201,7 +202,7 @@ FIN_CODES = ["OK", "BADR", "MODULE", "NOFP", "NORP", "NOALGN", "LOWQ"]
 
 def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,
              ptbl, phtbl, fmt, want_arrays=False, L2cap=928,
-             payload_buf=None):
+             payload_buf=None, plane_kind=0):
     """One native pass: exact f64 selection from the device shortlist,
     reconstruction, quality, and (fmt 1=fasta / 2=fastq) payload bytes.
     Returns dict with codes/osc/quality/best/payload(+ascii/pidx).
@@ -252,7 +253,7 @@ def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,
         flen32.ctypes.data, rlen32.ctypes.data,
         fo32.ctypes.data, ro32.ctypes.data,
         skip8.ctypes.data,
-        B, stride, plane.ctypes.data, W, SL,
+        B, stride, plane.ctypes.data, W, SL, int(plane_kind),
         fbm8.ctypes.data, fbo32.ctypes.data,
         fba8.ctypes.data, fbb64.ctypes.data,
         int(algo_params["algo_id"]), float(algo_params["pmatch"]),

@@ -444,6 +444,61 @@ def assemble_shortlist_nt(nt_pack, flen, rlen, fo, ro, *, L: int,
         lut_match=None, lut_mismatch=None)
 
 
+def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
+    """K-mer candidate plane only: candc[b, o-1] = # of (j', i) pairs
+    with equal stored/emitted k-mers on diagonal o = j'+i+1 — the
+    device work for the sparse LUT path, which needs neither the match
+    nor the N planes (selection math runs on host)."""
+    if Oj is None:
+        Oj = O
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j0, Oj, axis=1)
+    kq = (sl(Fkm)[:, :, None] == Rkm[:, None, :O]).astype(jnp.int8)
+    T3 = _diag_t3(O, j0, Oj, jnp.int8)
+    return jax.lax.dot_general(
+        kq, T3, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32)  # [B, O]
+
+
+def pack_bits16(nz, O):
+    """[B, O] 0/1 int32 -> [B, O//16] int32 words, bit (o-1)%16 of word
+    (o-1)//16 for offset o = index+1. A tiny dot_general (no minor-dim
+    reshape, which would relayout on TPU)."""
+    idx = np.arange(O)
+    W16 = ((idx[:, None] // 16 == np.arange(O // 16)[None, :])
+           * (1 << (idx % 16))[:, None]).astype(np.int32)
+    return jax.lax.dot_general(
+        nz.astype(jnp.int32), jnp.asarray(W16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers"))
+def assemble_candidates_nt(nt_pack, flen, rlen, *, L: int,
+                           O: int | None = None, num_kmers: int = 2):
+    """Sparse LUT-algorithm device step: k-mer seeding only.
+
+    pear/rdp_mle score per-base f64 LUT sums; on host those sums cost
+    O(overlap) per *candidate* offset, and k-mer seeding leaves ~1-8
+    candidates per pair on real data — so the device's only job is the
+    O(L^2) candidate search (assembler.c:84-118). Output is the
+    candidate bitmask, [B, O//16] int32 16-bit words (32 B/pair at
+    O=256); the host applies the range rules, the ALL_BITS_IF_NONE
+    fallback (assembler.c:42,118) and the exact sequential f64 scoring
+    loop (native/psq_io.cpp:psq_finalize, plane_kind=1). No quality
+    upload, no f32 LUT planes, no shortlist band: the f64 selection is
+    exact by construction."""
+    if O is None:
+        O = L
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    nts = nt_pack.astype(jnp.int32) & 0xFF
+    nt_f = nts & 0x0F
+    nt_r = (nts >> 4) & 0x0F
+    Fkm, Rkm = kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers)
+    (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
+    candc = plane_cand(Fkm, Rkm, O)
+    return pack_bits16(candc != 0, O)
+
+
 def build_ptable(algo) -> np.ndarray:
     """Host-side f64 table PTBL[case*2209 + fq*47 + rq] of exact
     per-base log-probabilities for one algorithm (case codes from the

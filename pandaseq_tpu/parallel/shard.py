@@ -95,6 +95,43 @@ def _sharded_body(nt_pack, fr_q, rr_q, flen, rlen, fo, ro, *, L, O,
         band=band)
 
 
+def _sharded_cand_body(nt_pack, flen, rlen, *, L, O, num_kmers):
+    """Sparse LUT-path shard body: per-shard k-mer candidate plane rows
+    psum over "op" (partial diagonal sums are exact integers), then the
+    bitmask packing — the multi-chip twin of
+    ops/fused2.assemble_candidates_nt."""
+    n_op = jax.lax.axis_size("op")
+    op_idx = jax.lax.axis_index("op")
+    assert O % n_op == 0, (O, n_op)
+    Oj = O // n_op
+    j0 = op_idx * Oj
+
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    nts = nt_pack.astype(jnp.int32) & 0xFF
+    nt_f = nts & 0x0F
+    nt_r = (nts >> 4) & 0x0F
+    Fkm, Rkm = fused2.kmer_frames(nt_f, nt_r, flen, rlen, L, num_kmers)
+    candc = jax.lax.psum(
+        fused2.plane_cand(Fkm, Rkm, O, j0=j0, Oj=Oj), "op")
+    return fused2.pack_bits16(candc != 0, O)
+
+
+def make_sharded_cand_step(mesh: Mesh, L: int, O: int | None = None,
+                           num_kmers: int = 2):
+    """Jit the sparse LUT candidate step over ``mesh`` (dp batch axis,
+    op overlap-plane-row axis). Returns ``step(nt_pack, flen, rlen) ->
+    [B, O//16]`` — bit-identical to assemble_candidates_nt."""
+    if O is None:
+        O = L
+    body = functools.partial(_sharded_cand_body, L=L, O=O,
+                             num_kmers=num_kmers)
+    bspec = P("dp")
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(bspec,) * 3,
+                      out_specs=bspec, check_vma=False))
+
+
 def make_sharded_step(mesh: Mesh, L: int, O: int | None = None,
                       SL: int = fused2.SHORTLIST, minoverlap: int = 2,
                       maxoverlap: int = 0, num_kmers: int = 2,

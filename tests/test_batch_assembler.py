@@ -204,3 +204,64 @@ def test_batch_mixed_extreme_lengths_vs_oracle():
         else:
             assert want_code != "OK", (pair.sid, code, want_code)
     assert n_ok >= 5  # the planted overlaps must merge
+
+
+@pytest.mark.parametrize("algo", ["pear", "rdp_mle"])
+@pytest.mark.parametrize("cfg_kw", [{}, {"num_kmers": 0},
+                                    {"maxoverlap": 80},
+                                    {"minoverlap": 20}])
+def test_sparse_lut_path_matches_shortlist(algo, cfg_kw):
+    """The sparse candidate-bitmask LUT path (plane_kind=1: device ships
+    only k-mer candidates, native host scores them in exact f64) must
+    equal the banded-shortlist path (plane_kind=0) result-for-result —
+    including -k 0 (ALL_BITS_IF_NONE everywhere) and clamped ranges."""
+    from pandaseq_tpu import oracle
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    cfg = oracle.OracleConfig(algorithm=oracle.make_algorithm(algo))
+    for k, v in cfg_kw.items():
+        setattr(cfg, k, v)
+    pairs = []
+    reader = fq.read_pairs(F1, F2, policy="PRESENT")
+    while True:
+        try:
+            pairs.append(next(reader))
+        except (StopIteration, fq.StreamError):
+            break
+    pairs = pairs[:96]
+
+    asm = BatchAssembler(cfg, L=512)
+    st = asm._pre(pairs)
+    dev = asm._dispatch(st)
+    assert st["plane_kind"] == 1
+    sparse = asm._finalize(st, dev)
+
+    # force the shortlist path by faking native-lib absence at dispatch
+    asm2 = BatchAssembler(cfg, L=512)
+    st2 = asm2._pre(pairs)
+    orig = native._lib
+    try:
+        native._lib = None
+        import unittest.mock as mock
+        with mock.patch.object(native, "get_lib", return_value=None):
+            dev2 = asm2._dispatch(st2)
+    finally:
+        native._lib = orig
+    assert st2["plane_kind"] == 0
+    shortlist = asm2._finalize(st2, dev2)
+
+    assert len(sparse) == len(shortlist)
+    for (c1, r1), (c2, r2) in zip(sparse, shortlist):
+        assert c1 == c2
+        if c1 == "OK":
+            assert r1.overlap == r2.overlap
+            assert r1.overlaps_examined == r2.overlaps_examined
+            assert r1.sequence_length == r2.sequence_length
+            np.testing.assert_array_equal(r1.sequence_nt, r2.sequence_nt)
+            assert r1.estimated_overlap_probability == \
+                r2.estimated_overlap_probability

@@ -88,6 +88,25 @@ def test_sharded_step_pear_matches_single_device():
                                   single[:, 2 * SL + 1])
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_candidate_step_matches_single_device():
+    """The sparse LUT path's dp×op-sharded candidate step (partial
+    k-mer plane rows psum'd over op) is bit-identical to the
+    single-device assemble_candidates_nt — exact integers throughout."""
+    from pandaseq_tpu.ops.fused2 import assemble_candidates_nt
+    from pandaseq_tpu.parallel import shard
+
+    L = 128
+    B = 32
+    fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen = _example_rev(B, L, seed=5)
+    args = (_pack(fwd_nt, rev_nt), flen, rlen)
+    mesh = shard.make_mesh(8, op=2)
+    step = shard.make_sharded_cand_step(mesh, L=L)
+    sharded = np.asarray(step(*shard.shard_batch(mesh, args)))
+    single = np.asarray(assemble_candidates_nt(*args, L=L))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def _pack(fwd_nt, rev_nt):
     return ((fwd_nt.astype(np.uint8) & 0x0F)
             | ((rev_nt.astype(np.uint8) & 0x0F) << 4)).view(np.int8)

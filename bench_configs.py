@@ -55,18 +55,20 @@ def run_config(name, f1, f2, cfg, modules, use_emit):
 
     asm = BatchAssembler(cfg, L=512, modules=list(modules))
     # warm
-    if use_emit and not modules:
+    if use_emit:
         for _ in asm.emit_stream(batches(), depth=DEPTH):
             pass
     else:
         for b in batches():
             asm.assemble_batch(b)
             break
+    for mod in modules:
+        mod.rejected = 0
     asm = BatchAssembler(cfg, L=512, modules=list(modules))
     t0 = time.perf_counter()
     n = 0
     ok = 0
-    if use_emit and not modules:
+    if use_emit:
         for _, codes, payload in asm.emit_stream(
                 prefetch(batches()), depth=DEPTH, threaded=True):
             n += len(codes)
@@ -113,13 +115,15 @@ def main():
             np.frombuffer(REV_PRIMER.encode(), dtype=np.uint8)))
     mods2 = [filters.load_module("min_overlapbits", logger),
              filters.load_module("completely_miss_the_point:4", logger)]
+    # module configs ride the emit fast path too: every built-in
+    # check-stage module has a vectorized check_batch
     results.append(run_config("primers+filters", *primed, cfg2, mods2,
-                              False))
+                              True))
 
     cfg3 = oracle.OracleConfig(algorithm=oracle.make_algorithm("pear"))
     mods3 = [filters.load_module("pear_test", logger)]
     results.append(run_config("pear+pear_test", *plain, cfg3, mods3,
-                              False))
+                              True))
 
     for algo in ("rdp_mle", "uparse"):
         cfg = oracle.OracleConfig(algorithm=oracle.make_algorithm(algo))

@@ -16,7 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(os.path.dirname(_HERE), "native", "psq_io.cpp")
-_SO = os.path.join(os.path.dirname(_HERE), "native", "_psq_io.so")
+_SODIR = os.path.join(os.path.dirname(_HERE), "native")
 
 MAX_LEN = 450
 
@@ -35,19 +35,29 @@ def _find_bz2():
 
 
 def build(force: bool = False) -> str | None:
-    """Compile the native decoder if needed; returns .so path or None."""
+    """Compile the native decoder if needed; returns .so path or None.
+
+    The output name carries a source-content hash: a rebuild writes a
+    NEW file instead of truncating the old one in place, so a process
+    that still has the previous build dlopen'd keeps valid mappings
+    (an in-place `g++ -o` rewrite corrupts the old mapping and
+    segfaults any live caller), and a reload dlopens a fresh inode."""
     if not os.path.exists(_SRC):
         return None
-    if (not force and os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return _SO
+    import hashlib
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:12]
+    so = os.path.join(_SODIR, f"_psq_io-{tag}.so")
+    if not force and os.path.exists(so):
+        return so
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO, _SRC, "-lz", _find_bz2()]
+           "-o", so + ".tmp", _SRC, "-lz", _find_bz2()]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-    except (subprocess.CalledProcessError, FileNotFoundError):
+        os.replace(so + ".tmp", so)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
-    return _SO
+    return so
 
 
 def get_lib():

@@ -20,9 +20,9 @@ import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(ROOT, "tests", "data")
-BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 25)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 12)))
+DEPTH = int(os.environ.get("BENCH_DEPTH", "3"))
 FWD_PRIMER = "GTGCCAGCMGCCGCGGTAA"
 REV_PRIMER = "GGACTACHVGGGTWTCTAAT"
 

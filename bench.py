@@ -144,10 +144,9 @@ def bench_tpu():
         t0 = time.perf_counter()
         n_in = 0
         sink = bytearray()
-        for _, codes, payload in asm.emit_stream(prefetch(batches(),
-                                                          depth=DEPTH + 2),
-                                                 depth=DEPTH,
-                                                 threaded=True):
+        for _, codes, payload in asm.emit_stream(
+                prefetch(asm.pre_stream(batches()), depth=DEPTH + 2),
+                depth=DEPTH, threaded=True):
             sink += payload
             n_in += len(codes)
         total = time.perf_counter() - t0

@@ -70,12 +70,13 @@ def run_config(name, f1, f2, cfg, modules, use_emit):
     ok = 0
     if use_emit:
         for _, codes, payload in asm.emit_stream(
-                prefetch(batches()), depth=DEPTH, threaded=True):
+                prefetch(asm.pre_stream(batches())), depth=DEPTH,
+                threaded=True):
             n += len(codes)
     else:
-        for _, results in asm.assemble_stream(prefetch(batches()),
-                                              depth=DEPTH,
-                                              threaded=True):
+        for _, results in asm.assemble_stream(
+                prefetch(asm.pre_stream(batches())), depth=DEPTH,
+                threaded=True):
             for code, res in results:
                 n += 1
                 if code == "OK":

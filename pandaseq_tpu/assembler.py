@@ -414,7 +414,8 @@ class BatchAssembler:
 
         try:
             for pairs in pair_batches:
-                st = self._pre(pairs)
+                st = pairs if isinstance(pairs, dict) \
+                    else self._pre(pairs)
                 dev = self._dispatch(st)
                 q.append((st, dev))
                 if len(q) > depth:
@@ -452,7 +453,7 @@ class BatchAssembler:
             return
         q = deque()
         for pairs in pair_batches:
-            st = self._pre(pairs)
+            st = pairs if isinstance(pairs, dict) else self._pre(pairs)
             dev = self._dispatch(st)
             q.append((st, dev))
             if len(q) > depth:
@@ -461,6 +462,18 @@ class BatchAssembler:
         while q:
             st0, dev0 = q.popleft()
             yield st0["pairs"], self._finalize(st0, dev0)
+
+    def pre_stream(self, pair_batches):
+        """Map batches through the host _pre stage (decode-side work:
+        badread gates, module prechecks, primer scans, shape
+        bucketing) inside the generator — wrap the result with
+        io.prefetch.prefetch() to run _pre on the reader thread,
+        overlapping the primer scan (the reference does it on its
+        worker threads, assembler.c:262-288) with device dispatch.
+        assemble_stream/emit_stream accept the resulting st dicts in
+        place of raw batches."""
+        for pairs in pair_batches:
+            yield self._pre(pairs)
 
     def _pre(self, pairs):
         """Host stage 0: decode batch, badread, prechecks, primers.
@@ -975,7 +988,7 @@ class BatchAssembler:
             return
         q = deque()
         for pairs in pair_batches:
-            stt = self._pre(pairs)
+            stt = pairs if isinstance(pairs, dict) else self._pre(pairs)
             dev = self._dispatch(stt)
             q.append((stt, dev))
             if len(q) > depth:

@@ -502,9 +502,11 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                         for m in c.modules))
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
+        # pre_stream runs the _pre stage (prechecks, primer scans) on
+        # the prefetch thread, overlapped with device dispatch
         for pairs, codes, payload, extras in asm.emit_stream(
-                prefetch(batches()), fmt=emit_fmt, with_extras=True,
-                depth=6, threaded=True):
+                prefetch(asm.pre_stream(batches())), fmt=emit_fmt,
+                with_extras=True, depth=6, threaded=True):
             out_stream.write(payload)
             overlaps = extras["overlap"]
             scored = extras["scored"]
@@ -530,8 +532,12 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
         # the worker-thread finalize overlaps the device pipeline, but
         # per-batch counter snapshots (-T > 1) need the main thread to
         # observe counters between batches -> keep those runs unthreaded
+        # keep _pre on the main thread when -T > 1 snapshots counters
+        # between batches (prefetched _pre would inflate cur.count)
+        stream = prefetch(asm.pre_stream(batches())) \
+            if vcounters is None else prefetch(batches())
         for pairs, results in asm.assemble_stream(
-                prefetch(batches()), threaded=vcounters is None):
+                stream, threaded=vcounters is None):
             if vcounters is not None:
                 cur, p = asm.counters, prev_snap
                 delta = [cur.ok - p.ok, cur.lowq - p.lowq,

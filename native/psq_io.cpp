@@ -1131,9 +1131,16 @@ long psq_finalize(
     const char NT_A[17] = "NACMGRSVTWYHKDBN";
     static const int POPCNT4[16] = {0, 1, 1, 2, 1, 2, 2, 3,
                                     1, 2, 2, 3, 2, 3, 3, 4};
+    // counter/hist bumps are atomic: both the fmt==0 and the fmt>0
+    // driver loops below run the pair bodies OpenMP-parallel
+    auto bump = [](int64_t &x) {
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+        x++;
+    };
     // per-pair body; returns payload bytes written (fmt > 0) or 0;
-    // -1 on payload overflow. With fmt == 0 pairs are independent
-    // (no counters/payload), so the driver loop below parallelizes.
+    // -1 on payload overflow.
     auto do_pair = [&](long b, uint8_t *pay, long pay_cap) -> long {
         int16_t pidx_buf_local[2 * MAX_LEN + 8];
         uint8_t ascii_buf_local[2 * MAX_LEN + 8];
@@ -1147,20 +1154,20 @@ long psq_finalize(
             switch (sk) {
             case 1: case 3:
                 codes[b] = CODE_BADR;
-                if (fmt) counters[3]++;
+                if (fmt) bump(counters[3]);
                 break;
             case 2: codes[b] = CODE_MODULE; break;
             case 4:
                 codes[b] = CODE_NOFP;
-                if (fmt) counters[4]++;
+                if (fmt) bump(counters[4]);
                 break;
             case 5:
                 codes[b] = CODE_NORP;
-                if (fmt) counters[5]++;
+                if (fmt) bump(counters[5]);
                 break;
             default:
                 codes[b] = CODE_NOALGN;  // negs (assembler.c:124,150)
-                if (fmt) counters[2]++;
+                if (fmt) bump(counters[2]);
                 break;
             }
             return 0;
@@ -1202,7 +1209,7 @@ long psq_finalize(
         bool slow = examined == maxo - minoverlap + 1;
         if (slow) {
             oscr[5] |= 2;
-            if (fmt) counters[6]++;
+            if (fmt) bump(counters[6]);
         }
         oscr[4] = (int32_t) examined;
 
@@ -1267,14 +1274,14 @@ long psq_finalize(
         }
         if (besto == -1) {
             codes[b] = CODE_NOALGN;
-            if (fmt) counters[2]++;
+            if (fmt) bump(counters[2]);
             return 0;
         }
         long length = (long) F.flen - fo - besto + F.rlen - ro + 1;
         if (length <= 0 || length > 2 * MAX_LEN) {
             // NEGS / OOM both surface as NOALGN (assembler.c:293-299)
             codes[b] = CODE_NOALGN;
-            if (fmt) counters[2]++;
+            if (fmt) bump(counters[2]);
             return 0;
         }
         obest[b] = best;
@@ -1371,12 +1378,12 @@ long psq_finalize(
         }
         if (quality < threshold) {
             codes[b] = CODE_LOWQ;
-            counters[1]++;
+            bump(counters[1]);
             return 0;
         }
         codes[b] = CODE_OK;
-        counters[0]++;
-        if (besto >= 0 && besto < hist_cap) hist[besto]++;
+        bump(counters[0]);
+        if (besto >= 0 && besto < hist_cap) bump(hist[besto]);
         if (seq_len == 0) return 0;  // counted, no bytes (output.c:89-91)
         // ---- emit (output.c:64-112 fast path) ----
         const char *sid = ids + b * id_stride;
@@ -1407,12 +1414,35 @@ long psq_finalize(
 #endif
         for (long b = 0; b < B; b++) do_pair(b, nullptr, 0);
     } else {
-        for (long b = 0; b < B; b++) {
-            long wr = do_pair(b, payload + plen_out,
-                              payload_cap - plen_out);
-            if (wr < 0) { plen_out = -1; break; }
-            plen_out += wr;
+        // parallel selection/score/reconstruct/format into per-pair
+        // slots, then one serial compaction — the payload byte order
+        // stays the input order (the single-writer contract,
+        // writer.c's committed-transaction ordering), but the f64
+        // scoring loops (pear/rdp candidates) spread across cores
+        long slot = 1 + id_stride + 1 + 32 + 1 + L2cap + 1
+            + (fmt == 2 ? L2cap + 3 : 0);
+        uint8_t *scratch = (uint8_t *) malloc((size_t) (B * slot));
+        long *wr = (long *) malloc(sizeof(long) * (size_t) B);
+        if (!scratch || !wr) {
+            free(scratch); free(wr);
+            return -1;
         }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (long b = 0; b < B; b++)
+            wr[b] = do_pair(b, scratch + b * slot, slot);
+        for (long b = 0; b < B; b++) {
+            if (wr[b] < 0 || plen_out + wr[b] > payload_cap) {
+                plen_out = -1;
+                break;
+            }
+            memcpy(payload + plen_out, scratch + b * slot,
+                   (size_t) wr[b]);
+            plen_out += wr[b];
+        }
+        free(scratch);
+        free(wr);
     }
     return plen_out;
 }

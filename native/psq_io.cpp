@@ -1002,6 +1002,23 @@ double score_from_counts(int algo, double pmatch, double pmismatch,
     }
 }
 
+// exact integer (match, mismatch) counts for one overlap — the host
+// twin of the device count planes (ops/fused2.py:plane_counts): N on
+// either side excludes the position from both counts (-> unk)
+inline void count_pair(const Frames &F, int o, long &m, long &mm) {
+    for (int i = 0; i < o; i++) {
+        int findex = F.flen + i - o;
+        int rindex = F.rlen - i - 1;
+        if (findex < 0 || rindex < 0 || findex >= F.flen
+            || rindex >= F.rlen)
+            continue;
+        int f = F.fwd_nt(findex);
+        int r = F.rev_nt(rindex);
+        if (f == 0x0F || r == 0x0F) continue;
+        if ((f & r) != 0) m++; else mm++;
+    }
+}
+
 // exact sequential f64 LUT sum (pear: algo_pear.c:44-58 incl. the
 // both-quals-from-fwd quirk; rdp_mle: algo_rdp_mle.c:58-72)
 double score_lut(int algo, const Frames &F, int o, const double *lut_m,
@@ -1229,8 +1246,17 @@ long psq_finalize(
             // (assembler.c:125-134), no shortlist/band indirection
             for (long o = cand_lo; o <= cand_hi; o++) {
                 if (cand_any && !cand(o)) continue;
-                double pr = score_lut(algo_id, F, (int) o, lut_m,
-                                      lut_mm, nn_term, qual_nn);
+                double pr;
+                if (algo_id == ALGO_PEAR || algo_id == ALGO_RDP) {
+                    pr = score_lut(algo_id, F, (int) o, lut_m,
+                                   lut_mm, nn_term, qual_nn);
+                } else {
+                    long m = 0, mm = 0;
+                    count_pair(F, (int) o, m, mm);
+                    pr = score_from_counts(algo_id, pmatch, pmismatch,
+                                           qual_nn, F.flen, F.rlen,
+                                           (int) o, m, mm);
+                }
                 if (pr > best) {
                     best = pr;
                     besto = o;

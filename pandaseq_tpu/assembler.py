@@ -587,11 +587,17 @@ class BatchAssembler:
         batch = st["batch"]
         Lb = st["Lb"]
         lut = self._algo_kind in ("pear", "rdp_mle")
-        # sparse LUT path: device ships only the k-mer candidate
-        # bitmask; native finalize scores candidates exactly in f64
-        # (needs the native library; python finalize reads shortlists)
+        # sparse path (every built-in algorithm): device ships only the
+        # k-mer candidate bitmask; native finalize scores candidates
+        # exactly in f64 (LUT loops for pear/rdp, integer counts for
+        # the rest). Needs the native library (python finalize reads
+        # shortlists). Counts algorithms keep the device shortlist
+        # when -k 0 makes every offset a candidate (the host scan
+        # would be O(maxo * L) per pair); custom algorithms keep it
+        # for the oracle-replay bookkeeping.
         from .io import native as _native
-        sparse = lut and _native.get_lib() is not None
+        sparse = (_native.get_lib() is not None and not self._custom
+                  and (lut or cfg.num_kmers > 0))
         st["plane_kind"] = 1 if sparse else 0
 
         def cut(a):
@@ -611,7 +617,7 @@ class BatchAssembler:
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
                  cut(batch.rev_q)], axis=1)
         else:
-            # count-based scoring (and the sparse LUT candidate step)
+            # count-based scoring (and the sparse candidate step)
             # needs no quality arrays on device
             plane = np.ascontiguousarray(cut(batch.nt_packed()))
         inputs = (plane, batch.flen, batch.rlen)

@@ -206,15 +206,17 @@ def test_batch_mixed_extreme_lengths_vs_oracle():
     assert n_ok >= 5  # the planted overlaps must merge
 
 
-@pytest.mark.parametrize("algo", ["pear", "rdp_mle"])
+@pytest.mark.parametrize("algo", ["pear", "rdp_mle", "simple_bayesian",
+                                  "uparse", "ea_util", "flash", "stitch"])
 @pytest.mark.parametrize("cfg_kw", [{}, {"num_kmers": 0},
                                     {"maxoverlap": 80},
                                     {"minoverlap": 20}])
-def test_sparse_lut_path_matches_shortlist(algo, cfg_kw):
-    """The sparse candidate-bitmask LUT path (plane_kind=1: device ships
-    only k-mer candidates, native host scores them in exact f64) must
-    equal the banded-shortlist path (plane_kind=0) result-for-result —
-    including -k 0 (ALL_BITS_IF_NONE everywhere) and clamped ranges."""
+def test_sparse_path_matches_shortlist(algo, cfg_kw):
+    """The sparse candidate-bitmask path (plane_kind=1: device ships
+    only k-mer candidates, native host scores them in exact f64 — LUT
+    loops for pear/rdp, integer counts for the rest) must equal the
+    banded-shortlist path (plane_kind=0) result-for-result — including
+    -k 0 (ALL_BITS_IF_NONE everywhere) and clamped ranges."""
     from pandaseq_tpu import oracle
     from pandaseq_tpu.assembler import BatchAssembler
     from pandaseq_tpu.io import fastq as fq
@@ -238,7 +240,11 @@ def test_sparse_lut_path_matches_shortlist(algo, cfg_kw):
     asm = BatchAssembler(cfg, L=512)
     st = asm._pre(pairs)
     dev = asm._dispatch(st)
-    assert st["plane_kind"] == 1
+    lut = algo in ("pear", "rdp_mle")
+    expect_sparse = 1 if (lut or cfg.num_kmers > 0) else 0
+    assert st["plane_kind"] == expect_sparse
+    if not expect_sparse:
+        return  # -k 0 counts: same (shortlist) path on both sides
     sparse = asm._finalize(st, dev)
 
     # force the shortlist path by faking native-lib absence at dispatch

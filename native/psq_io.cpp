@@ -1122,6 +1122,44 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     }
 }
 
+// 6-bit packed upload for the sparse candidate step: from the
+// nibble-packed nt plane [B, stride] (fwd | rev<<4) build
+// [B, 3*Lb/4] int8 columns [fwd2 | rev2 | fwdN | revN] — 2-bit k-mer
+// codes (misc.h:41) stride-major 4 positions/byte plus N bitmasks 8
+// positions/byte (see ops/fused2.py:assemble_candidates_packed).
+void psq_pack6(const int8_t *nt_pack, long B, long stride, long Lb,
+               int8_t *out) {
+    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
+                                  3, 0, 0, 0, 0, 0, 0, 0};
+    long q = Lb / 4, e = Lb / 8, W = 3 * q;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long b = 0; b < B; b++) {
+        const uint8_t *src = (const uint8_t *) nt_pack + b * stride;
+        uint8_t *dst = (uint8_t *) out + b * W;
+        memset(dst, 0, (size_t) W);
+        uint8_t *f2 = dst, *r2 = dst + q;
+        uint8_t *fN = dst + 2 * q, *rN = dst + 2 * q + e;
+        for (int t = 0; t < 4; t++) {
+            const uint8_t *s = src + t * q;
+            for (long k = 0; k < q; k++) {
+                uint8_t v = s[k];
+                f2[k] |= (uint8_t) (K2[v & 0x0F] << (2 * t));
+                r2[k] |= (uint8_t) (K2[v >> 4] << (2 * t));
+            }
+        }
+        for (int t = 0; t < 8; t++) {
+            const uint8_t *s = src + t * e;
+            for (long k = 0; k < e; k++) {
+                uint8_t v = s[k];
+                if ((v & 0x0F) == 0x0F) fN[k] |= (uint8_t) (1 << t);
+                if ((v >> 4) == 0x0F) rN[k] |= (uint8_t) (1 << t);
+            }
+        }
+    }
+}
+
 // Batch finalization. plane is the device shortlist [B, W] int32 with
 // W = 2*SL + 4 (see ops/fused2.py). fmt: 0 = arrays only (general
 // path), 1 = FASTA payload, 2 = FASTQ payload. Returns payload length

@@ -612,13 +612,16 @@ class BatchAssembler:
         # algorithms' three byte planes ship concatenated (measured
         # -5 ms/batch vs three arguments); [B] scalars ride the
         # dispatch inline.
-        if lut and not sparse:
+        if sparse:
+            # 6-bit packed upload: 2-bit k-mer codes + N bitmasks are
+            # all the candidate search reads (192 B/pair at Lb=256)
+            plane = _native.pack6(batch, Lb)
+        elif lut:
             plane = np.concatenate(
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
                  cut(batch.rev_q)], axis=1)
         else:
-            # count-based scoring (and the sparse candidate step)
-            # needs no quality arrays on device
+            # count-based scoring needs no quality arrays on device
             plane = np.ascontiguousarray(cut(batch.nt_packed()))
         inputs = (plane, batch.flen, batch.rlen)
         if self.mesh is not None:
@@ -636,7 +639,7 @@ class BatchAssembler:
         fo32 = st["fo"].astype(np.int32)
         ro32 = st["ro"].astype(np.int32)
         if sparse:
-            out = self._fused2.assemble_candidates_nt(
+            out = self._fused2.assemble_candidates_packed(
                 *inputs, L=Lb, O=st["O"], num_kmers=cfg.num_kmers)
         elif lut:
             out = self._fused2.assemble_shortlist_packed(

@@ -115,6 +115,10 @@ def get_lib():
     lib.psq_quality.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                 ctypes.c_long, ctypes.c_void_p,
                                 ctypes.c_void_p, ctypes.c_void_p]
+    lib.psq_pack6.restype = None
+    lib.psq_pack6.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                              ctypes.c_long, ctypes.c_long,
+                              ctypes.c_void_p]
     lib.psq_primer_align.restype = None
     lib.psq_primer_align.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p, ctypes.c_long,
@@ -122,6 +126,20 @@ def get_lib():
                                      ctypes.c_long, ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def pack6(batch, Lb: int):
+    """[B, 3*Lb/4] 6-bit packed upload plane for the sparse candidate
+    step (psq_pack6); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ntp = batch.nt_packed()
+    B = ntp.shape[0]
+    out = np.empty((B, 3 * Lb // 4), dtype=np.int8)
+    lib.psq_pack6(ntp.ctypes.data, B, ntp.shape[1], Lb,
+                  out.ctypes.data)
+    return out
 
 
 def primer_align(nt, probs, notprobs, primer):

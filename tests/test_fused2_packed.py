@@ -57,3 +57,40 @@ def test_packed_pear_matches_unpacked():
     got = np.asarray(fused2.assemble_shortlist_packed(
         plane, flen, rlen, fo, ro, **kw))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_candidates_packed_matches_nt():
+    """The 6-bit packed candidate step must equal assemble_candidates_nt
+    bit-for-bit, including N runs and degenerate codes (which the 2-bit
+    k-mer alphabet folds to 0 exactly like misc.h:41)."""
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    B, L = 24, 128
+    codes = np.array([1, 2, 4, 8, 15, 15, 5, 10], dtype=np.uint8)
+    fwd = codes[rng.integers(0, len(codes), size=(B, L))]
+    rev = codes[rng.integers(0, len(codes), size=(B, L))]
+    flen = rng.integers(20, L, size=B).astype(np.int32)
+    rlen = rng.integers(20, L, size=B).astype(np.int32)
+    pos = np.arange(L)[None, :]
+    fwd[pos >= flen[:, None]] = 0
+    rev[pos >= rlen[:, None]] = 0
+    nt_pack = (fwd | (rev << 4)).view(np.int8)
+
+    ref = np.asarray(fused2.assemble_candidates_nt(
+        nt_pack, flen, rlen, L=L))
+
+    class _B:
+        sids = list(range(B))
+
+        def nt_packed(self):
+            return nt_pack
+
+    plane6 = native.pack6(_B(), L)
+    assert plane6.shape == (B, 3 * L // 4)
+    got = np.asarray(fused2.assemble_candidates_packed(
+        plane6, flen, rlen, L=L))
+    np.testing.assert_array_equal(got, ref)

@@ -1078,6 +1078,14 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
 #endif
     {
     double *A = (double *) malloc(sizeof(double) * (size_t) stride);
+    // per-read scan-order staging: pr[k]/npr[k] are the match /
+    // mismatch log-probs of the base the scan visits k-th, nt4s[k] its
+    // code — so the x loop below is branch-predictable vectorizable
+    // selects + shifted adds, in the SAME x-ascending f64 summation
+    // order as the reference's circular buffer (offset.c:70-88)
+    double *pr = (double *) malloc(sizeof(double) * (size_t) stride);
+    double *npr = (double *) malloc(sizeof(double) * (size_t) stride);
+    int *nt4s = (int *) malloc(sizeof(int) * (size_t) stride);
 #ifdef _OPENMP
 #pragma omp for schedule(static)
 #endif
@@ -1086,18 +1094,24 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
         if (plen > S) { out[b] = 0; continue; }
         const int8_t *ntr = nt + b * stride;
         const int8_t *qr = q + b * stride;
+        for (int k = 0; k < S; k++) {
+            int idx = rev_scan ? k : S - 1 - k;
+            int qq = clamp46(qr[idx]);
+            pr[k] = qual_score[qq];
+            npr[k] = qual_score_err[qq];
+            nt4s[k] = ntr[idx] & 0x0F;
+        }
         // A[s] = alignment sum for primer start s (raw coords), bases
         // ascending; raw x reads reversed row S-1-x
         for (int s = 0; s < S; s++) A[s] = 0.0;
         for (int x = 0; x < plen; x++) {
             int px = primer[x] & 0x0F;
             if (px == 0x0F) continue;  // N contributes nothing
-            for (int s = 0; s + x < S; s++) {
-                int idx = rev_scan ? s + x : S - 1 - (s + x);
-                int nt4 = ntr[idx] & 0x0F;
-                int qq = clamp46(qr[idx]);
-                A[s] += (nt4 & px) ? qual_score[qq] : qual_score_err[qq];
-            }
+            const double *prx = pr + x, *nprx = npr + x;
+            const int *ntx = nt4s + x;
+            int n = S - x;
+            for (int s = 0; s < n; s++)
+                A[s] += (ntx[s] & px) ? prx[s] : nprx[s];
         }
         double bestpr = bestpr0;
         long bestindex = 0;
@@ -1119,6 +1133,9 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
         out[b] = bestindex;
     }
     free(A);
+    free(pr);
+    free(npr);
+    free(nt4s);
     }
 }
 

@@ -341,19 +341,41 @@ def _open_pear_test(args, logger):
         raise ModuleError("pear_test")
     alpha, beta, cutoff = 1.0, -1.0, 0.01
     ln25, ln75 = math.log(0.25), math.log(0.75)
-    binom_sum = {}  # (i, l_i) -> sum, computed once with the exact loop
+    # lgamma(n+1) staged through math.lgamma (glibc — the exact values
+    # the reference plugin's lgamma calls produce)
+    _lg = np.array([math.lgamma(n + 1.0) for n in range(MAX_LEN + 2)])
+    # T[i, l] = the plugin's ascending-k partial sum
+    # sum_{k<l} C(i,k) 0.25^k 0.75^(i-k) with the same f64 term
+    # expression and accumulation order (cumsum is sequential); rows
+    # fill lazily. l_i <= i-1 always (oes <= overlap <= i).
+    T = np.zeros((MAX_LEN + 2, MAX_LEN + 2))
+    have = np.zeros(MAX_LEN + 2, dtype=bool)
+
+    def _row(i):
+        if not have[i]:
+            k = np.arange(i)
+            icho = (_lg[i] - _lg[k]) - _lg[i - k]
+            args = icho + k * ln25 + (i - k) * ln75
+            # math.exp, not np.exp: the SIMD exp differs from libm's in
+            # the last ulp, and the reference plugin calls libm
+            import itertools
+            terms = [math.exp(v) for v in args.tolist()]
+            T[i, 1:i + 1] = np.fromiter(
+                itertools.accumulate(terms), dtype=np.float64, count=i)
+            have[i] = True
 
     def _sum(i, l_i):
-        key = (i, l_i)
-        v = binom_sum.get(key)
-        if v is None:
+        if i < 0 or i > MAX_LEN:
+            # out-of-table i (cannot occur via the check loop: i <
+            # min(flen, rlen) <= MAX_LEN) — exact scalar fallback
             v = 0.0
             for k in range(max(l_i, 0)):
-                i_choose_k = (math.lgamma(i + 1) - math.lgamma(k + 1)
-                              - math.lgamma(i - k + 1))
-                v += math.exp(i_choose_k + k * ln25 + (i - k) * ln75)
-            binom_sum[key] = v
-        return v
+                icho = (math.lgamma(i + 1) - math.lgamma(k + 1)
+                        - math.lgamma(i - k + 1))
+                v += math.exp(icho + k * ln25 + (i - k) * ln75)
+            return v
+        _row(i)
+        return float(T[i, min(max(l_i, 0), i)])
 
     def check(res):
         product = 1.0
@@ -367,10 +389,10 @@ def _open_pear_test(args, logger):
         return cutoff > 1 - product * product
 
     def check_batch(view, sel):
-        """Vectorized: the same ascending-i f64 product (multiply.reduceat
-        applies the ufunc left-to-right within each segment, matching
-        the C loop's order) over memoized exact binomial partial
-        sums."""
+        """Vectorized: the same ascending-i f64 product
+        (multiply.reduceat applies the ufunc left-to-right within each
+        segment, matching the C loop's order) over the exact cumulative
+        binomial table."""
         B = len(view.overlap)
         out = np.ones(B, dtype=bool)
         rows = np.flatnonzero(sel)
@@ -391,13 +413,11 @@ def _open_pear_test(args, logger):
             ii = np.repeat(o2, n2) + offs
             l_i = np.ceil((np.repeat(oes2, n2) - beta * ii)
                           / (alpha - beta)).astype(np.int64) - 1
-            # memoize exact sums for the distinct (i, l_i) pairs;
-            # l_i <= i <= MAX_LEN, negatives clamp (empty sum -> 0.0)
-            keys = ii * 2048 + np.clip(l_i, -1, 2046) + 1
-            uniq, inv = np.unique(keys, return_inverse=True)
-            vals = np.array([_sum(int(k) // 2048, int(k) % 2048 - 1)
-                             for k in uniq], dtype=np.float64)
-            prod[nz] = np.multiply.reduceat(vals[inv], seg_starts)
+            # i < min(flen, rlen) <= MAX_LEN; l_i <= i - 1 by algebra
+            for i in np.unique(ii):
+                _row(int(i))
+            vals = T[ii, np.clip(l_i, 0, ii)]
+            prod[nz] = np.multiply.reduceat(vals, seg_starts)
         out[rows] = cutoff > 1 - prod * prod
         return out
 

@@ -141,3 +141,35 @@ def test_module_overlap_stat():
     m2 = re.search(rb"STAT\tEXAMINED ([\d ]+)", buf.getvalue())
     assert m2 is not None
     assert m2.group(1) == m.group(1)
+
+
+def test_pear_test_negative_l_terminates():
+    """Reference divergence (documented in PARITY.md): when
+    oes <= -i (PEAR scoring, mismatches > overlap/2) the reference's
+    `size_t l_i = ceil(...) - 1` underflows to ~1.8e19 and its inner
+    loop effectively never terminates (plugin_pear_test.c:33-38). We
+    treat l_i <= 0 as the empty sum: the product picks up a factor 0,
+    the record is rejected, and both the scalar and the vectorized
+    paths agree."""
+    import numpy as np
+
+    from pandaseq_tpu import filters, oracle, stats
+
+    logger = stats.LogProxy(open(os.devnull, "wb"))
+    mod = filters.load_module("pear_test", logger)
+
+    res = oracle.OracleResult()
+    res.overlap = 10
+    res.overlap_mismatches = 9  # oes = 10 - 18 = -8 <= -i at i=10
+    res.forward_length = 40
+    res.reverse_length = 40
+    assert mod.check(res) is False
+
+    class _View:
+        overlap = np.array([10])
+        overlap_mismatches = np.array([9])
+        forward_length = np.array([40])
+        reverse_length = np.array([40])
+
+    got = mod.check_batch(_View(), np.array([True]))
+    assert got.tolist() == [False]

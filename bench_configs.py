@@ -62,28 +62,30 @@ def run_config(name, f1, f2, cfg, modules, use_emit):
         for b in batches():
             asm.assemble_batch(b)
             break
-    for mod in modules:
-        mod.rejected = 0
-    asm = BatchAssembler(cfg, L=512, modules=list(modules))
-    t0 = time.perf_counter()
-    n = 0
-    ok = 0
-    if use_emit:
-        for _, codes, payload in asm.emit_stream(
-                prefetch(asm.pre_stream(batches())), depth=DEPTH,
-                threaded=True):
-            n += len(codes)
-    else:
-        for _, results in asm.assemble_stream(
-                prefetch(asm.pre_stream(batches())), depth=DEPTH,
-                threaded=True):
-            for code, res in results:
-                n += 1
-                if code == "OK":
-                    out_mod.format_fasta(res)
-    dt = time.perf_counter() - t0
-    rate = n / dt
-    rec = {"config": name, "pairs_per_sec": round(rate, 1),
+    best = 0.0
+    for _ in range(int(os.environ.get("BENCH_CFG_PASSES", "3"))):
+        for mod in modules:
+            mod.rejected = 0
+        asm = BatchAssembler(cfg, L=512, modules=list(modules))
+        t0 = time.perf_counter()
+        n = 0
+        if use_emit:
+            for _, codes, payload in asm.emit_stream(
+                    prefetch(asm.pre_stream(batches())), depth=DEPTH,
+                    threaded=True):
+                n += len(codes)
+        else:
+            for _, results in asm.assemble_stream(
+                    prefetch(asm.pre_stream(batches())), depth=DEPTH,
+                    threaded=True):
+                for code, res in results:
+                    n += 1
+                    if code == "OK":
+                        out_mod.format_fasta(res)
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+        time.sleep(8)
+    rec = {"config": name, "pairs_per_sec": round(best, 1),
            "pairs": n, "ok": asm.counters.ok}
     log(json.dumps(rec))
     return rec

@@ -1086,6 +1086,11 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     double *pr = (double *) malloc(sizeof(double) * (size_t) stride);
     double *npr = (double *) malloc(sizeof(double) * (size_t) stride);
     int *nt4s = (int *) malloc(sizeof(int) * (size_t) stride);
+    // a primer has only a handful of distinct 4-bit codes; V[c][k] is
+    // the value primer code c contributes at scan position k, built
+    // once per (read, code) so the per-primer-position pass is a pure
+    // shifted vector add (auto-vectorizes; selects run D*S not P*S)
+    double *V = (double *) malloc(sizeof(double) * 16 * (size_t) stride);
 #ifdef _OPENMP
 #pragma omp for schedule(static)
 #endif
@@ -1104,30 +1109,68 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
         // A[s] = alignment sum for primer start s (raw coords), bases
         // ascending; raw x reads reversed row S-1-x
         for (int s = 0; s < S; s++) A[s] = 0.0;
+        int built = 0;
         for (int x = 0; x < plen; x++) {
             int px = primer[x] & 0x0F;
             if (px == 0x0F) continue;  // N contributes nothing
-            const double *prx = pr + x, *nprx = npr + x;
-            const int *ntx = nt4s + x;
+            double *v = V + px * stride;
+            if (!(built & (1 << px))) {
+                // branchless bitwise select (match/mismatch is ~random
+                // per base, so a ternary mispredicts constantly)
+                const uint64_t *prb = (const uint64_t *) pr;
+                const uint64_t *nprb = (const uint64_t *) npr;
+                uint64_t *vb = (uint64_t *) v;
+                for (int k = 0; k < S; k++) {
+                    uint64_t m = (uint64_t) 0
+                        - (uint64_t) ((nt4s[k] & px) != 0);
+                    vb[k] = (prb[k] & m) | (nprb[k] & ~m);
+                }
+                built |= 1 << px;
+            }
+            const double *vx = v + x;
             int n = S - x;
             for (int s = 0; s < n; s++)
-                A[s] += (ntx[s] & px) ? prx[s] : nprx[s];
+                A[s] += vx[s];
         }
         double bestpr = bestpr0;
         long bestindex = 0;
-        for (int index = 0; index < S; index++) {
-            int start = index - (int) plen;
-            double last_pr;
-            if (start < 0) {
-                // circular-buffer slot still -INFINITY: only penalty
-                last_pr = 0.0 - (double) index * penalty;
-            } else {
-                last_pr = exp(A[start] / (double) (index + 1))
-                    - (double) index * penalty;
+        if (penalty == 0.0) {
+            // exp() is monotone non-decreasing, so the reference's
+            // per-index `exp(A/(i+1)) > bestpr` (offset.c:80-86) only
+            // needs the exp when the log-domain score makes a new
+            // running max: for r <= best_r, exp(r) <= exp(best_r) <=
+            // bestpr already. Tracking best_r alongside bestpr keeps
+            // the exact f64 comparison semantics (including the case
+            // where two distinct r round to the same exp value) while
+            // cutting S exp() calls to ~log(S). Indices < plen score
+            // 0.0 - 0*penalty = 0, never above exp(plen*threshold) >= 0.
+            double best_r = -INFINITY;
+            for (int index = (int) plen; index < S; index++) {
+                double r = A[index - (int) plen] / (double) (index + 1);
+                if (r > best_r) {
+                    double e = exp(r);
+                    if (e > bestpr) {
+                        bestpr = e;
+                        bestindex = index + 1;
+                    }
+                    best_r = r;
+                }
             }
-            if (last_pr > bestpr) {
-                bestpr = last_pr;
-                bestindex = index + 1;
+        } else {
+            for (int index = 0; index < S; index++) {
+                int start = index - (int) plen;
+                double last_pr;
+                if (start < 0) {
+                    // circular-buffer slot still -INFINITY: only penalty
+                    last_pr = 0.0 - (double) index * penalty;
+                } else {
+                    last_pr = exp(A[start] / (double) (index + 1))
+                        - (double) index * penalty;
+                }
+                if (last_pr > bestpr) {
+                    bestpr = last_pr;
+                    bestindex = index + 1;
+                }
             }
         }
         out[b] = bestindex;
@@ -1136,6 +1179,7 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     free(pr);
     free(npr);
     free(nt4s);
+    free(V);
     }
 }
 

@@ -1183,6 +1183,45 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     }
 }
 
+// pear_test verdicts (plugin_pear_test.c:18-41) for n selected rows.
+// T is the lazily-built cumulative binomial table T[i, l] (stride
+// Tstride doubles per row) whose rows [min o, max hi) the caller has
+// populated; o/mm/hi are per-row overlap, overlap mismatches and
+// min(flen, rlen). Verdict: cutoff > 1 - product^2 with
+// product = prod_{i=o}^{hi-1} T[i, clamp(ceil((oes-beta*i)/
+// (alpha-beta))-1, 0, i)], the exact f64 ascending-i product of the
+// plugin loop. Factors live in [0, 1] (up to f64 rounding), so once
+// the running product falls a safe margin below sqrt(1-cutoff) the
+// verdict is reject no matter what follows — the loop exits early
+// without changing any result.
+void psq_pear_test(const double *T, long Tstride, const int64_t *o,
+                   const int64_t *mm, const int64_t *hi, long n,
+                   double alpha, double beta, double cutoff,
+                   uint8_t *out) {
+    // early-exit bound: final <= running * (1 + k*eps)^rest; margin
+    // 1e-9 dwarfs that growth for any rest <= 2*MAX_LEN
+    double lim = (cutoff < 1.0) ? sqrt(1.0 - cutoff) * (1.0 - 1e-9)
+                                : -1.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long r = 0; r < n; r++) {
+        double oes = alpha * (double) (o[r] - mm[r])
+            + beta * (double) mm[r];
+        double product = 1.0;
+        for (int64_t i = o[r]; i < hi[r]; i++) {
+            double lf = ceil((oes - beta * (double) i)
+                             / (alpha - beta));
+            int64_t l = (int64_t) lf - 1;
+            if (l < 0) l = 0;
+            if (l > i) l = i;
+            product *= T[i * Tstride + l];
+            if (product < lim) break;
+        }
+        out[r] = cutoff > 1.0 - product * product;
+    }
+}
+
 // 6-bit packed upload for the sparse candidate step: from the
 // nibble-packed nt plane [B, stride] (fwd | rev<<4) build
 // [B, 3*Lb/4] int8 columns [fwd2 | rev2 | fwdN | revN] — 2-bit k-mer

@@ -404,6 +404,16 @@ def _open_pear_test(args, logger):
                         view.reverse_length[rows]).astype(np.int64)
         oes = alpha * (o - mmx) + beta * mmx
         n_i = np.maximum(hi - o, 0)
+        if n_i.max(initial=0) > 0:
+            lo_i, hi_i = int(o[n_i > 0].min()), int(hi.max())
+            for i in range(lo_i, min(hi_i, MAX_LEN + 1)):
+                _row(i)
+            from .io import native as _native
+            nat = _native.pear_test_check(T, o, mmx, hi, alpha, beta,
+                                          cutoff)
+            if nat is not None:
+                out[rows] = nat
+                return out
         prod = np.ones(len(rows), dtype=np.float64)
         nz = np.flatnonzero(n_i > 0)
         if len(nz):

@@ -102,6 +102,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,     # ascii,pidx,L2
         ctypes.c_void_p, ctypes.c_long,                      # payload
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]     # counters,hist
+    lib.psq_pear_test.restype = None
+    lib.psq_pear_test.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_void_p]
     lib.psq_emit.restype = ctypes.c_long
     lib.psq_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -199,6 +204,26 @@ def compute_offsets(nt_rev, q_rev, lens, primer, threshold, penalty,
         qs.ctypes.data, qe.ctypes.data, out.ctypes.data,
         1 if rev_scan else 0)
     return out
+
+
+def pear_test_check(T, o, mm, hi, alpha, beta, cutoff):
+    """pear_test verdicts for compacted rows (plugin_pear_test.c:18-41):
+    exact f64 ascending-i product over the caller's cumulative binomial
+    table T (rows [min o, max hi) must be built). None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    T = np.ascontiguousarray(T, dtype=np.float64)
+    o = np.ascontiguousarray(o, dtype=np.int64)
+    mm = np.ascontiguousarray(mm, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    out = np.empty(len(o), dtype=np.uint8)
+    lib.psq_pear_test(T.ctypes.data, T.shape[1], o.ctypes.data,
+                      mm.ctypes.data, hi.ctypes.data, len(o),
+                      float(alpha), float(beta), float(cutoff),
+                      out.ctypes.data)
+    return out.view(bool)
 
 
 def emit(ascii_arr, pidx_arr, seq_len, quality, emit_mask, ids, phtbl,

@@ -1339,14 +1339,14 @@ long psq_finalize(
         } else if (maxo > maxoverlap_cfg) {
             maxo = maxoverlap_cfg;
         }
-        // plane_kind 1: candidate bitmask (W 16-bit words over offsets
-        // 1..16W; ops/fused2.py:assemble_candidates_nt) — apply the
+        // plane_kind 1: candidate bitmask (W 32-bit words over offsets
+        // 1..32W; ops/fused2.py:assemble_candidates_nt) — apply the
         // range rules + ALL_BITS_IF_NONE here (assembler.c:42,84-118)
-        long cand_hi = maxo < W * 16 ? maxo : W * 16;
+        long cand_hi = maxo < W * 32 ? maxo : W * 32;
         long cand_lo = minoverlap > 1 ? minoverlap : 1;
         auto cand = [&](long o) {
             long k = o - 1;
-            return ((row[k >> 4] >> (k & 15)) & 1) != 0;
+            return ((((uint32_t) row[k >> 5]) >> (k & 31)) & 1) != 0;
         };
         bool cand_any = false;
         long examined;

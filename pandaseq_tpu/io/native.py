@@ -14,6 +14,16 @@ import subprocess
 
 import numpy as np
 
+# The pipeline calls OpenMP regions from several pthreads (decoder on
+# the prefetch thread, finalize on its worker, pack6/pear_test on the
+# main thread); libgomp keeps one thread pool PER calling pthread and
+# its default wait policy spin-waits between regions, so the idle pools
+# burn whole cores against the active one. Passive waiting removes the
+# burn (measured ~5x on the concurrent decode+finalize pipeline).
+# Must be set before libgomp initializes — i.e. before the .so loads.
+os.environ.setdefault("OMP_WAIT_POLICY", "passive")
+os.environ.setdefault("GOMP_SPINCOUNT", "0")
+
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(os.path.dirname(_HERE), "native", "psq_io.cpp")
 _SODIR = os.path.join(os.path.dirname(_HERE), "native")

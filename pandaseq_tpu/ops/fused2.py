@@ -467,14 +467,18 @@ def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
 
 
 def pack_bits16(nz, O):
-    """[B, O] 0/1 int32 -> [B, O//16] int32 words, bit (o-1)%16 of word
-    (o-1)//16 for offset o = index+1. A tiny dot_general (no minor-dim
-    reshape, which would relayout on TPU)."""
-    idx = np.arange(O)
-    W16 = ((idx[:, None] // 16 == np.arange(O // 16)[None, :])
-           * (1 << (idx % 16))[:, None]).astype(np.int32)
+    """[B, O] 0/1 int32 -> [B, O//32] int32 words, bit (o-1)%32 of word
+    (o-1)//32 for offset o = index+1 (32 bits per word halves the
+    device->host wire vs 16). A tiny dot_general (no minor-dim reshape,
+    which would relayout on TPU); each weight contributes to one output
+    word at most once, so the wrapping int32 accumulation of 1<<31 is
+    still the exact bit pattern (sum of distinct powers == OR)."""
+    idx = np.arange(O, dtype=np.int64)
+    W32 = ((idx[:, None] // 32 == np.arange(O // 32)[None, :])
+           * (1 << (idx % 32))[:, None]) & 0xFFFFFFFF
+    W32 = W32.astype(np.uint32).view(np.int32)
     return jax.lax.dot_general(
-        nz.astype(jnp.int32), jnp.asarray(W16),
+        nz.astype(jnp.int32), jnp.asarray(W32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
 
 
@@ -487,7 +491,7 @@ def assemble_candidates_nt(nt_pack, flen, rlen, *, L: int,
     O(overlap) per *candidate* offset, and k-mer seeding leaves ~1-8
     candidates per pair on real data — so the device's only job is the
     O(L^2) candidate search (assembler.c:84-118). Output is the
-    candidate bitmask, [B, O//16] int32 16-bit words (32 B/pair at
+    candidate bitmask, [B, O//32] int32 words (32 B/pair at
     O=256); the host applies the range rules, the ALL_BITS_IF_NONE
     fallback (assembler.c:42,118) and the exact sequential f64 scoring
     loop (native/psq_io.cpp:psq_finalize, plane_kind=1). No quality

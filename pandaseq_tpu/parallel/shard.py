@@ -121,7 +121,7 @@ def make_sharded_cand_step(mesh: Mesh, L: int, O: int | None = None,
                            num_kmers: int = 2):
     """Jit the sparse LUT candidate step over ``mesh`` (dp batch axis,
     op overlap-plane-row axis). Returns ``step(nt_pack, flen, rlen) ->
-    [B, O//16]`` — bit-identical to assemble_candidates_nt."""
+    [B, O//32]`` — bit-identical to assemble_candidates_nt."""
     if O is None:
         O = L
     body = functools.partial(_sharded_cand_body, L=L, O=O,

@@ -386,6 +386,7 @@ class BatchAssembler:
         self._phtbl = np.ascontiguousarray(
             33 + result_phred(self._ptbl), np.uint8)
         self._payload_buf = None
+        self._arrays_buf = None  # reused want_arrays ascii/pidx planes
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
@@ -701,12 +702,25 @@ class BatchAssembler:
         if emit is not None and self.modules:
             # batched module path: reconstruct to arrays, vectorized
             # module verdicts, then the native emit-only pass
+            B = st["B"]
+            ab = self._arrays_buf
+            if ab is None or ab[0].shape[0] < B:
+                ab = (np.zeros((B, 928), dtype=np.uint8),
+                      np.zeros((B, 928), dtype=np.int16))
+                self._arrays_buf = ab
             r = _native.finalize(
                 st["batch"], st["skip"], st["fo"], st["ro"], plane,
                 self.SL, fb, self._algo_params, self._cfg_params,
                 self._ptbl, self._phtbl, 0, want_arrays=True,
-                plane_kind=pk)
+                plane_kind=pk, arrays_buf=ab)
             return self._emit_with_modules(st, r, fmt)
+        # no arrays_buf reuse here: _results_from_native hands out
+        # views into ascii/pidx, which must outlive the next batch
+        if fmt != 0:
+            cap = st["B"] * (416 + 2 * 928 + 64)
+            if self._payload_buf is None \
+                    or self._payload_buf.nbytes < cap:
+                self._payload_buf = np.empty(cap, dtype=np.uint8)
         r = _native.finalize(
             st["batch"], st["skip"], st["fo"], st["ro"], plane, self.SL,
             fb, self._algo_params, self._cfg_params, self._ptbl,

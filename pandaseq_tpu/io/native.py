@@ -265,11 +265,18 @@ FIN_CODES = ["OK", "BADR", "MODULE", "NOFP", "NORP", "NOALGN", "LOWQ"]
 
 def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,
              ptbl, phtbl, fmt, want_arrays=False, L2cap=928,
-             payload_buf=None, plane_kind=0):
+             payload_buf=None, plane_kind=0, arrays_buf=None):
     """One native pass: exact f64 selection from the device shortlist,
     reconstruction, quality, and (fmt 1=fasta / 2=fastq) payload bytes.
     Returns dict with codes/osc/quality/best/payload(+ascii/pidx).
-    None when the native library is unavailable."""
+    None when the native library is unavailable.
+
+    arrays_buf: optional (ascii, pidx) planes to reuse across calls
+    (22 MB/batch of fresh zeroing otherwise). Rows the per-pair body
+    skips keep a previous batch's bytes, which is fine for callers
+    that only read rows their own codes/sel masks select — the caller
+    must consume ascii/pidx before its next finalize call with the
+    same buffers."""
     lib = get_lib()
     if lib is None:
         return None
@@ -285,8 +292,12 @@ def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,
     counters = np.zeros(8, dtype=np.int64)
     hist = np.zeros(1024, dtype=np.int64)
     if want_arrays:
-        ascii_out = np.zeros((B, L2cap), dtype=np.uint8)
-        pidx_out = np.zeros((B, L2cap), dtype=np.int16)
+        if arrays_buf is not None and arrays_buf[0].shape[0] >= B \
+                and arrays_buf[0].shape[1] == L2cap:
+            ascii_out, pidx_out = arrays_buf[0][:B], arrays_buf[1][:B]
+        else:
+            ascii_out = np.zeros((B, L2cap), dtype=np.uint8)
+            pidx_out = np.zeros((B, L2cap), dtype=np.int16)
         a_ptr, p_ptr = ascii_out.ctypes.data, pidx_out.ctypes.data
     else:
         ascii_out = pidx_out = None

@@ -342,6 +342,19 @@ int seqid_parse(SeqId *id, const char *input, int policy,
 // ---------------------------------------------------------------------
 const char NT_ASCII[17] = "NACMGRSVTWYHKDBN";
 
+// one record's pre-collected line offsets (SIZE_MAX = missing)
+struct RecLines {
+    size_t f[4], rv[4], ix[4];
+};
+
+// one record's parallel-parse outcome
+struct RecOut {
+    int status = 0;  // 0 ok, 1 NODATA skip, 2 clean EOF, <0: -ErrCode
+    int fl = 0, rl = 0;
+    bool seen64 = false;   // seen_under_64 contributions, stage-ordered
+    bool reached = false;  // got past id/seq parsing (non_empty)
+};
+
 struct PairReader {
     Stream fwd, rev, idx;
     bool has_index = false;
@@ -353,6 +366,12 @@ struct PairReader {
     bool seen_under_64 = false;
     bool non_empty = false;
     int error = 0;  // error codes below
+    // scratch reused across next_batch_parallel calls (a fresh ~10 MB
+    // arena per batch means an mmap/munmap + page-fault cycle each
+    // time)
+    std::vector<char> arena;
+    std::vector<RecLines> lines;
+    std::vector<RecOut> recs;
 
     PairReader() {
         memset(fwd_nt, 0, sizeof fwd_nt);
@@ -438,19 +457,6 @@ int parse_seq_lines(const char *seq_line, const char *plus_line,
     return pos;
 }
 
-// one record's pre-collected line offsets (SIZE_MAX = missing)
-struct RecLines {
-    size_t f[4], rv[4], ix[4];
-};
-
-// one record's parallel-parse outcome
-struct RecOut {
-    int status = 0;  // 0 ok, 1 NODATA skip, 2 clean EOF, <0: -ErrCode
-    int fl = 0, rl = 0;
-    bool seen64 = false;   // seen_under_64 contributions, stage-ordered
-    bool reached = false;  // got past id/seq parsing (non_empty)
-};
-
 // Parallel batched decode for the rev_layout path: phase 1 collects
 // raw lines serially (the streams are sequential), phase 2 parses and
 // writes provisional rows in parallel (records are independent —
@@ -464,9 +470,9 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                          int8_t *rev_q, int32_t *flen, int32_t *rlen,
                          char *ids, long id_stride, int8_t *nt_pack) {
     long n = 0;
-    std::vector<char> arena;
-    std::vector<RecLines> lines;
-    std::vector<RecOut> recs;
+    std::vector<char> &arena = r->arena;
+    std::vector<RecLines> &lines = r->lines;
+    std::vector<RecOut> &recs = r->recs;
     while (n < batch && !r->error) {
         long want = batch - n;
         arena.clear();

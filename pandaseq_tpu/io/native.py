@@ -494,14 +494,18 @@ class NativeBatchReader:
         if self.h is None:
             raise StopIteration
         B, L = self.batch, self.L
-        fwd_nt = np.zeros((B, L), dtype=np.int8)
-        fwd_q = np.zeros((B, L), dtype=np.int8)
-        rev_nt = np.zeros((B, L), dtype=np.int8)
-        rev_q = np.zeros((B, L), dtype=np.int8)
-        flen = np.zeros(B, dtype=np.int32)
-        rlen = np.zeros(B, dtype=np.int32)
-        ids = np.zeros((B, ID_STRIDE), dtype=np.uint8)
-        nt_pack = np.zeros((B, L), dtype=np.int8)
+        # np.empty, not np.zeros: the decoder writes every byte of the
+        # first n rows (row tails are memset, ids are nul-terminated)
+        # and rows >= n are sliced away below, so the 21 MB of eager
+        # zeroing would be pure memory traffic
+        fwd_nt = np.empty((B, L), dtype=np.int8)
+        fwd_q = np.empty((B, L), dtype=np.int8)
+        rev_nt = np.empty((B, L), dtype=np.int8)
+        rev_q = np.empty((B, L), dtype=np.int8)
+        flen = np.empty(B, dtype=np.int32)
+        rlen = np.empty(B, dtype=np.int32)
+        ids = np.empty((B, ID_STRIDE), dtype=np.uint8)
+        nt_pack = np.empty((B, L), dtype=np.int8)
         err = ctypes.c_int32(0)
         n = self.lib.psq_next_batch(
             self.h, B, L,

@@ -1012,17 +1012,21 @@ double score_from_counts(int algo, double pmatch, double pmismatch,
 // twin of the device count planes (ops/fused2.py:plane_counts): N on
 // either side excludes the position from both counts (-> unk)
 inline void count_pair(const Frames &F, int o, long &m, long &mm) {
-    for (int i = 0; i < o; i++) {
-        int findex = F.flen + i - o;
-        int rindex = F.rlen - i - 1;
-        if (findex < 0 || rindex < 0 || findex >= F.flen
-            || rindex >= F.rlen)
-            continue;
-        int f = F.fwd_nt(findex);
-        int r = F.rev_nt(rindex);
-        if (f == 0x0F || r == 0x0F) continue;
-        if ((f & r) != 0) m++; else mm++;
+    // valid i: findex in [0, flen) and rindex in [0, rlen) reduce to
+    // i in [max(0, o-flen), min(o, rlen)); branchless tallies (the
+    // match/mismatch branch mispredicts ~half the time on real reads)
+    int lo = o - F.flen > 0 ? o - F.flen : 0;
+    int hi = o < F.rlen ? o : F.rlen;
+    long mx = 0, nn = 0;
+    for (int i = lo; i < hi; i++) {
+        int f = F.fwd_nt(F.flen + i - o);
+        int r = F.rev_nt(F.rlen - i - 1);
+        int isn = (f == 0x0F) | (r == 0x0F);
+        mx += (((f & r) != 0) & !isn);
+        nn += isn;
     }
+    m += mx;
+    mm += (hi > lo ? hi - lo : 0) - mx - nn;
 }
 
 // exact sequential f64 LUT sum (pear: algo_pear.c:44-58 incl. the
@@ -1031,28 +1035,28 @@ double score_lut(int algo, const Frames &F, int o, const double *lut_m,
                  const double *lut_mm, double nn_term, double qual_nn) {
     (void) qual_nn;
     double prob = 0.0;
-    for (int i = 0; i < o; i++) {
+    // same tight bounds as count_pair; the f64 adds stay in ascending
+    // i order (the summation order IS the reference's), only the
+    // guards and the match/mismatch table pick are branchless
+    int lo = o - F.flen > 0 ? o - F.flen : 0;
+    int hi = o < F.rlen ? o : F.rlen;
+    for (int i = lo; i < hi; i++) {
         int findex = F.flen + i - o;
         int rindex = F.rlen - i - 1;
-        if (findex < 0 || rindex < 0 || findex >= F.flen
-            || rindex >= F.rlen)
-            continue;
         int f = F.fwd_nt(findex);
         int r = F.rev_nt(rindex);
+        const double *tbl = ((f & r) != 0) ? lut_m : lut_mm;
         if (algo == ALGO_PEAR) {
-            if (f == 0x0F || r == 0x0F) {
-                prob += nn_term;  // == -random_base
-            } else {
-                int qa = clamp46(F.fwd_q(findex));
-                int qb = clamp46(F.fwd_q(rindex));  // fwd buffer quirk
-                prob += ((f & r) != 0 ? lut_m : lut_mm)[qa * 47 + qb];
-            }
+            int isn = (f == 0x0F) | (r == 0x0F);
+            int qa = clamp46(F.fwd_q(findex));
+            int qb = clamp46(F.fwd_q(rindex));  // fwd buffer quirk
+            prob += isn ? nn_term : tbl[qa * 47 + qb];
         } else {  // rdp_mle: no N special case
             int qa = clamp46(F.fwd_q(findex));
             int qb = clamp46(F.rev_q(rindex));
             // per-element (LUT - qual_nn), algo_rdp_mle.c:64-71 — the
             // caller bakes the subtraction into the tables it passes
-            prob += ((f & r) != 0 ? lut_m : lut_mm)[qa * 47 + qb];
+            prob += tbl[qa * 47 + qb];
         }
     }
     return prob;

@@ -1193,6 +1193,104 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     }
 }
 
+// Exact candidate bitmask for selected rows — the host-side twin of
+// the device k-mer candidate search (ops/fused2.py:kmer_frames_codes +
+// plane_cand; reference semantics assembler.c:91-118, misc.h:32-45).
+// Used for rows whose reads contain N: the 4-bit packed upload drops
+// the N planes, so the device computes those rows' masks as if N were
+// A; this recomputes them exactly. Frames are REVERSED left-aligned
+// rows (frame j' = base flen-1-j'); bit o-1 of out (O/32-word rows,
+// matching pack_bits16) is set iff some stored forward k-mer at frame
+// j' equals an emitted reverse k-mer at frame i with o = j'+i+1.
+void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
+                   const int32_t *flen_a, const int32_t *rlen_a,
+                   long stride, const int64_t *rows, long nrows,
+                   int num_kmers, long O, int32_t *out) {
+    const long W = O / 32;
+    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
+                                  3, 0, 0, 0, 0, 0, 0, 0};
+    const int KM = 8;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+    // kmerseen twin: per-kmer emission count + first num_kmers stored
+    // frame positions (in RAW ascending order = frame descending),
+    // epoch-versioned so each row costs O(L), not O(4^8)
+    std::vector<uint32_t> epoch(1 << 16, 0);
+    std::vector<uint16_t> cnt(1 << 16, 0);
+    std::vector<int16_t> stored((size_t) (1 << 16) * (num_kmers > 0
+                                                      ? num_kmers : 1));
+    uint32_t ep = 0;
+    std::vector<int8_t> cf(stride), cr(stride);
+    std::vector<uint8_t> nf(stride), nr(stride);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+    for (long ri = 0; ri < nrows; ri++) {
+        long b = rows[ri];
+        int32_t *obits = out + ri * W;
+        memset(obits, 0, (size_t) W * 4);
+        if (num_kmers <= 0) continue;  // -k 0: no candidates
+        ep++;
+        int FL = flen_a[b], RL = rlen_a[b];
+        const int8_t *fr = fr_nt + b * stride;
+        const int8_t *rr = rr_nt + b * stride;
+        for (int p = 0; p < stride; p++) {
+            int f = fr[p] & 0x0F, r = rr[p] & 0x0F;
+            cf[p] = K2[f];
+            cr[p] = K2[r];
+            nf[p] = f != 0x0F;  // pads (0) read as non-N
+            nr[p] = r != 0x0F;
+        }
+        // forward: emit at frame j' when j' <= FL-9 and the 9-window
+        // j'..j'+8 is non-N; visit j' DESCENDING (raw ascending) so
+        // "first num_kmers in raw order" is a running count
+        int jmax = FL - 9;
+        if (jmax >= 0) {
+            int run = 0;  // consecutive non-N at j' and above
+            // seed run for positions > jmax (window extends to j'+8)
+            for (int p = (jmax + KM < stride ? jmax + KM : stride - 1);
+                 p > jmax; p--)
+                run = nf[p] ? run + 1 : 0;
+            for (int j = jmax; j >= 0; j--) {
+                run = nf[j] ? run + 1 : 0;
+                if (run < KM + 1) continue;
+                int kv = 0;
+                for (int t = 0; t < KM; t++)
+                    kv |= (int) cf[j + t] << (2 * t);
+                if (epoch[kv] != ep) {
+                    epoch[kv] = ep;
+                    cnt[kv] = 0;
+                }
+                if (cnt[kv] < num_kmers)
+                    stored[(size_t) kv * num_kmers + cnt[kv]] =
+                        (int16_t) j;
+                cnt[kv]++;
+            }
+        }
+        // reverse: emit at frame i when i >= 8, i < RL, window i-8..i
+        // non-N; probe stored forward positions
+        int run = 0;
+        int ihi = RL < stride ? RL : stride;
+        for (int i = 0; i < ihi; i++) {
+            run = nr[i] ? run + 1 : 0;
+            if (i < KM || run < KM + 1) continue;
+            int kv = 0;
+            for (int t = 0; t < KM; t++)
+                kv |= (int) cr[i - t] << (2 * t);
+            if (epoch[kv] != ep) continue;
+            int ns = cnt[kv] < num_kmers ? cnt[kv] : num_kmers;
+            for (int s = 0; s < ns; s++) {
+                long d = (long) stored[(size_t) kv * num_kmers + s] + i;
+                if (d < O)
+                    obits[d >> 5] |= (int32_t) (1u << (d & 31));
+            }
+        }
+    }
+    }
+}
+
 // pear_test verdicts (plugin_pear_test.c:18-41) for n selected rows.
 // T is the lazily-built cumulative binomial table T[i, l] (stride
 // Tstride doubles per row) whose rows [min o, max hi) the caller has
@@ -1267,6 +1365,38 @@ void psq_pack6(const int8_t *nt_pack, long B, long stride, long Lb,
                 if ((v >> 4) == 0x0F) rN[k] |= (uint8_t) (1 << t);
             }
         }
+    }
+}
+
+// 4-bit packed upload: [fwd2 | rev2] 2-bit k-mer code planes only
+// (128 B/pair at Lb=256) — the N planes stay home; hasN[b] flags rows
+// containing any N so the caller can recompute their candidate masks
+// exactly with psq_cand_mask (the device treats N as A for them).
+void psq_pack4(const int8_t *nt_pack, long B, long stride, long Lb,
+               int8_t *out, uint8_t *hasN) {
+    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
+                                  3, 0, 0, 0, 0, 0, 0, 0};
+    long q = Lb / 4, W = 2 * q;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long b = 0; b < B; b++) {
+        const uint8_t *src = (const uint8_t *) nt_pack + b * stride;
+        uint8_t *dst = (uint8_t *) out + b * W;
+        memset(dst, 0, (size_t) W);
+        uint8_t *f2 = dst, *r2 = dst + q;
+        uint8_t any15 = 0;
+        for (int t = 0; t < 4; t++) {
+            const uint8_t *s = src + t * q;
+            for (long k = 0; k < q; k++) {
+                uint8_t v = s[k];
+                f2[k] |= (uint8_t) (K2[v & 0x0F] << (2 * t));
+                r2[k] |= (uint8_t) (K2[v >> 4] << (2 * t));
+                any15 |= (uint8_t) (((v & 0x0F) == 0x0F)
+                                    | ((v >> 4) == 0x0F));
+            }
+        }
+        hasN[b] = any15;
     }
 }
 

@@ -614,9 +614,12 @@ class BatchAssembler:
         # -5 ms/batch vs three arguments); [B] scalars ride the
         # dispatch inline.
         if sparse:
-            # 6-bit packed upload: 2-bit k-mer codes + N bitmasks are
-            # all the candidate search reads (192 B/pair at Lb=256)
-            plane = _native.pack6(batch, Lb)
+            # 4-bit packed upload: 2-bit k-mer codes only (128 B/pair
+            # at Lb=256). The device assumes no Ns; rows flagged hasN
+            # get their masks recomputed exactly on host in _finalize
+            # (native psq_cand_mask)
+            plane, hasN = _native.pack4(batch, Lb)
+            st["hasN_rows"] = np.flatnonzero(hasN)
         elif lut:
             plane = np.concatenate(
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
@@ -640,7 +643,7 @@ class BatchAssembler:
         fo32 = st["fo"].astype(np.int32)
         ro32 = st["ro"].astype(np.int32)
         if sparse:
-            out = self._fused2.assemble_candidates_packed(
+            out = self._fused2.assemble_candidates_packed4(
                 *inputs, L=Lb, O=st["O"], num_kmers=cfg.num_kmers)
         elif lut:
             out = self._fused2.assemble_shortlist_packed(
@@ -694,6 +697,14 @@ class BatchAssembler:
             # sparse LUT path: f64 selection is exact by construction —
             # no band, no oracle replay
             B = st["B"]
+            rows = st.get("hasN_rows")
+            if rows is not None and len(rows):
+                # the 4-bit upload dropped the N planes; recompute
+                # these rows' candidate masks exactly on host
+                fix = _native.cand_mask(st["batch"], rows,
+                                        self.cfg.num_kmers, st["O"])
+                plane = np.array(plane)  # writable copy
+                plane[rows] = fix
             fb = (np.zeros(B, np.uint8), np.zeros(B, np.int32),
                   np.zeros(B, np.uint8), np.zeros(B, np.float64))
         else:

@@ -112,6 +112,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,     # ascii,pidx,L2
         ctypes.c_void_p, ctypes.c_long,                      # payload
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]     # counters,hist
+    lib.psq_cand_mask.restype = None
+    lib.psq_cand_mask.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_long, ctypes.c_void_p]
     lib.psq_pear_test.restype = None
     lib.psq_pear_test.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
@@ -134,6 +139,10 @@ def get_lib():
     lib.psq_pack6.argtypes = [ctypes.c_void_p, ctypes.c_long,
                               ctypes.c_long, ctypes.c_long,
                               ctypes.c_void_p]
+    lib.psq_pack4.restype = None
+    lib.psq_pack4.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                              ctypes.c_long, ctypes.c_long,
+                              ctypes.c_void_p, ctypes.c_void_p]
     lib.psq_primer_align.restype = None
     lib.psq_primer_align.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p, ctypes.c_long,
@@ -154,6 +163,40 @@ def pack6(batch, Lb: int):
     out = np.empty((B, 3 * Lb // 4), dtype=np.int8)
     lib.psq_pack6(ntp.ctypes.data, B, ntp.shape[1], Lb,
                   out.ctypes.data)
+    return out
+
+
+def pack4(batch, Lb: int):
+    """([B, 2*Lb/4] 4-bit packed upload plane, hasN[B] bool) for the
+    sparse candidate step without N planes (psq_pack4); None without
+    the native library. Rows with hasN need cand_mask correction."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ntp = batch.nt_packed()
+    B = ntp.shape[0]
+    out = np.empty((B, 2 * Lb // 4), dtype=np.int8)
+    hasN = np.empty(B, dtype=np.uint8)
+    lib.psq_pack4(ntp.ctypes.data, B, ntp.shape[1], Lb,
+                  out.ctypes.data, hasN.ctypes.data)
+    return out, hasN.view(bool)
+
+
+def cand_mask(batch, rows, num_kmers: int, O: int):
+    """Exact host candidate bitmask [len(rows), O//32] int32 for the
+    given row indices (psq_cand_mask — the device search's host twin,
+    used for N-containing rows under the 4-bit upload)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    out = np.empty((len(rows), O // 32), dtype=np.int32)
+    flen32 = np.ascontiguousarray(batch.flen, np.int32)
+    rlen32 = np.ascontiguousarray(batch.rlen, np.int32)
+    lib.psq_cand_mask(batch.fwd_nt.ctypes.data, batch.rev_nt.ctypes.data,
+                      flen32.ctypes.data, rlen32.ctypes.data,
+                      batch.fwd_nt.shape[1], rows.ctypes.data, len(rows),
+                      int(num_kmers), O, out.ctypes.data)
     return out
 
 

@@ -556,6 +556,34 @@ def assemble_candidates_packed(plane6, flen, rlen, *, L: int,
     return pack_bits16(candc != 0, O)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers"))
+def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
+                                O: int | None = None, num_kmers: int = 2):
+    """assemble_candidates_packed without the N planes: [fwd2 | rev2]
+    only, 4 bits/position (128 B/pair at Lb=256). The device treats
+    every position as non-N; the host recomputes the (rare) rows that
+    do contain N exactly with psq_cand_mask before finalization, so
+    the upload sheds a third of its bytes without changing any
+    result."""
+    if O is None:
+        O = L
+    assert L % 8 == 0, L
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    q = L // 4
+    p32 = plane4.astype(jnp.int32) & 0xFF
+    unpack2 = lambda w: jnp.concatenate(
+        [(w >> (2 * t)) & 3 for t in range(4)], axis=1)  # [B, L]
+    cf = unpack2(p32[:, :q])
+    cr = unpack2(p32[:, q:2 * q])
+    nonn = jnp.ones(cf.shape, dtype=bool)
+    Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
+                                 L, num_kmers)
+    (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
+    candc = plane_cand(Fkm, Rkm, O)
+    return pack_bits16(candc != 0, O)
+
+
 def build_ptable(algo) -> np.ndarray:
     """Host-side f64 table PTBL[case*2209 + fq*47 + rq] of exact
     per-base log-probabilities for one algorithm (case codes from the

@@ -94,3 +94,63 @@ def test_candidates_packed_matches_nt():
     got = np.asarray(fused2.assemble_candidates_packed(
         plane6, flen, rlen, L=L))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_candidates_pack4_with_host_n_fix_matches_pack6():
+    """The 4-bit upload (no N planes) + the native host mask for
+    N-containing rows must reproduce the 6-bit device result exactly,
+    on data dense with N runs and degenerate codes."""
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    B, L = 32, 128
+    codes = np.array([1, 2, 4, 8, 15, 15, 15, 5, 10], dtype=np.uint8)
+    fwd = codes[rng.integers(0, len(codes), size=(B, L))]
+    rev = codes[rng.integers(0, len(codes), size=(B, L))]
+    # a few rows entirely N-free so both device paths agree on them
+    fwd[:4] = np.array([1, 2, 4, 8], np.uint8)[
+        rng.integers(0, 4, size=(4, L))]
+    rev[:4] = np.array([1, 2, 4, 8], np.uint8)[
+        rng.integers(0, 4, size=(4, L))]
+    flen = rng.integers(20, L, size=B).astype(np.int32)
+    rlen = rng.integers(20, L, size=B).astype(np.int32)
+    pos = np.arange(L)[None, :]
+    fwd[pos >= flen[:, None]] = 0
+    rev[pos >= rlen[:, None]] = 0
+    nt_pack = (fwd | (rev << 4)).view(np.int8)
+
+    class _B:
+        sids = list(range(B))
+        fwd_nt = fwd.view(np.int8)
+        rev_nt = rev.view(np.int8)
+
+        def nt_packed(self):
+            return nt_pack
+
+    _B.flen = flen
+    _B.rlen = rlen
+
+    ref = np.asarray(fused2.assemble_candidates_packed(
+        native.pack6(_B(), L), flen, rlen, L=L))
+
+    plane4, hasN = native.pack4(_B(), L)
+    assert plane4.shape == (B, 2 * L // 4)
+    expect_hasN = ((fwd == 15) | (rev == 15)).any(axis=1)
+    np.testing.assert_array_equal(hasN, expect_hasN)
+    got = np.array(np.asarray(fused2.assemble_candidates_packed4(
+        plane4, flen, rlen, L=L)))
+    rows = np.flatnonzero(hasN)
+    got[rows] = native.cand_mask(_B(), rows, 2, L)
+    np.testing.assert_array_equal(got, ref)
+
+    # num_kmers=1 and 3 paths through the host twin as well
+    for nk in (1, 3):
+        ref_k = np.asarray(fused2.assemble_candidates_packed(
+            native.pack6(_B(), L), flen, rlen, L=L, num_kmers=nk))
+        got_k = np.array(np.asarray(fused2.assemble_candidates_packed4(
+            plane4, flen, rlen, L=L, num_kmers=nk)))
+        got_k[rows] = native.cand_mask(_B(), rows, nk, L)
+        np.testing.assert_array_equal(got_k, ref_k)

@@ -43,6 +43,7 @@ _NN = QUAL_NN_SIMPLE_BAYESIAN
 _ALGO_IDS = {"counts": 0, "ea_util": 1, "flash": 2, "stitch": 3,
              "pear": 4, "rdp_mle": 5}
 _CODE_NAMES = ["OK", "BADR", "MODULE", "NOFP", "NORP", "NOALGN", "LOWQ"]
+_OK_TUPLE = ("OK", None)
 
 
 def _bucket(n: int, step: int = 128) -> int:
@@ -783,12 +784,10 @@ class BatchAssembler:
             r["ascii"], r["pidx"], osc[:, 1], r["quality"],
             sel.view(np.uint8), st["batch"].ids_bytes(), self._phtbl,
             fmt)
-        out = [None] * B
+        out = [_OK_TUPLE] * B
         sids = st["batch"].sids
-        for b in range(B):
-            if sel[b]:
-                out[b] = ("OK", None)
-            elif module_rej[b]:
+        for b in np.flatnonzero(~sel):
+            if module_rej[b]:
                 out[b] = ("MODULE", None)
             elif lowq[b]:
                 res = OracleResult()
@@ -823,16 +822,18 @@ class BatchAssembler:
             c.overlaps[int(o)] = c.overlaps.get(int(o), 0) + int(hist[o])
         codes = r["codes"]
         osc = r["osc"]
-        out = [None] * len(codes)
+        # OK rows share one tuple; only the rare non-OK rows get
+        # per-record Python objects (the loop over 8192 rows was ~3 ms)
+        out = [_OK_TUPLE] * len(codes)
         sids = st["batch"].sids
-        for b, cd in enumerate(codes):
-            name = _CODE_NAMES[cd]
+        for b in np.flatnonzero(codes):
+            cd = codes[b]
             res = None
             if cd == 6:  # LOWQ: logger needs quality + sid
                 res = OracleResult()
                 res.quality = float(r["quality"][b])
                 res.sid = sids[b]
-            out[b] = (name, res)
+            out[b] = (_CODE_NAMES[cd], res)
         extras = dict(scored=(osc[:, 5] & 1) != 0,
                       overlap=osc[:, 0].astype(np.int64),
                       # per-batch deltas for per-thread STAT attribution

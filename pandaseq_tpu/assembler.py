@@ -729,7 +729,7 @@ class BatchAssembler:
         # no arrays_buf reuse here: _results_from_native hands out
         # views into ascii/pidx, which must outlive the next batch
         if fmt != 0:
-            cap = st["B"] * (416 + 2 * 928 + 64)
+            cap = st["B"] * (_native.ID_STRIDE + 2 * 928 + 64)
             if self._payload_buf is None \
                     or self._payload_buf.nbytes < cap:
                 self._payload_buf = np.empty(cap, dtype=np.uint8)

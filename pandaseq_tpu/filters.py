@@ -43,7 +43,12 @@ class Module:
         # optional vectorized form: (ResultBatchView, sel_mask) ->
         # bool[B]; semantically identical to mapping ``check`` over the
         # selected rows — lets module configurations ride the batched
-        # emit fast path (assembler._emit_from_native)
+        # emit fast path (assembler._emit_from_native).
+        # CONTRACT: verdicts must be computed strictly per-row from
+        # rows where sel_mask is true — the view's ascii/pidx planes
+        # are reused scratch, so rows outside sel hold a previous
+        # batch's bytes (cross-row aggregates over the full batch
+        # would silently read them).
         self.check_batch = check_batch
         self.destroy = destroy
         self.args = args

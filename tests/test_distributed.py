@@ -69,3 +69,21 @@ def test_shard_inputs():
     c = shard_inputs(inputs, 2, 3)
     assert sorted(a + b + c) == sorted(inputs)
     assert len(a) == 4 and len(b) == 3 and len(c) == 3
+
+
+def test_reduce_counters_direct():
+    """reduce_counters: the per-process contribution rides the FIRST
+    local device's row of a device-sharded array, so the device-axis
+    sum is correct for any number of local devices per process
+    (VERDICT round-1 hardening). On the 8-device virtual mesh the
+    single process owns all 8 rows; the reduction must return exactly
+    the one contribution."""
+    from pandaseq_tpu.assembler import Counters
+    from pandaseq_tpu.parallel.distributed import reduce_counters
+
+    c = Counters(count=101, ok=90, noalgn=3, lowq=2, badread=1, slow=4,
+                 nofp=0, norp=1)
+    hist = {151: 40, 200: 50, 0: 7}
+    vec, hout = reduce_counters(c, hist)
+    assert list(vec) == [101, 90, 3, 2, 1, 4, 0, 1]
+    assert hout == hist

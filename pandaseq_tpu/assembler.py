@@ -803,7 +803,8 @@ class BatchAssembler:
         hist_full[:len(hist)] = hist
         extras = dict(scored=(osc[:, 5] & 1) != 0,
                       overlap=osc[:, 0].astype(np.int64),
-                      counters_delta=cc, hist_delta=hist_full)
+                      counters_delta=cc, hist_delta=hist_full,
+                      nonok_rows=np.flatnonzero(~sel))
         return out, payload, extras
 
     def _emit_from_native(self, st, r, emit):
@@ -838,7 +839,8 @@ class BatchAssembler:
                       overlap=osc[:, 0].astype(np.int64),
                       # per-batch deltas for per-thread STAT attribution
                       # (pool.c:83-104 prints each assembler's tallies)
-                      counters_delta=cc.copy(), hist_delta=hist)
+                      counters_delta=cc.copy(), hist_delta=hist,
+                      nonok_rows=np.flatnonzero(codes))
         return out, r["payload"], extras
 
     def _results_from_native(self, st, r):

@@ -515,17 +515,34 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                           extras["counters_delta"], extras["hist_delta"],
                           len(codes))
             batch_no += 1
-            for i, (pair, (code, res)) in enumerate(zip(pairs, codes)):
-                done += 1
-                if log_bestolp and scored[i]:
-                    logger.write("BESTOLP", sid=pair.sid,
-                                 message=str(int(overlaps[i])))
-                if code == "OK":
+            nonok = extras.get("nonok_rows")
+            if nonok is not None and not log_bestolp:
+                # fast path: touch only rejected rows (OK rows need no
+                # per-pair Python objects); TIME/READS cadence per 1000
+                # reads is preserved (pool.c:76-80)
+                nb = len(codes)
+                if len(nonok) < nb:
                     some_seqs = True
-                else:
-                    handle_reject(pair, code, res)
-                if done % 1000 == 0:
-                    reporter.print_time(done)
+                for i in nonok:
+                    code, res = codes[i]
+                    handle_reject(pairs[i], code, res)
+                for k in range(done // 1000 + 1,
+                               (done + nb) // 1000 + 1):
+                    reporter.print_time(k * 1000)
+                done += nb
+            else:
+                for i, (pair, (code, res)) in enumerate(zip(pairs,
+                                                            codes)):
+                    done += 1
+                    if log_bestolp and scored[i]:
+                        logger.write("BESTOLP", sid=pair.sid,
+                                     message=str(int(overlaps[i])))
+                    if code == "OK":
+                        some_seqs = True
+                    else:
+                        handle_reject(pair, code, res)
+                    if done % 1000 == 0:
+                        reporter.print_time(done)
     else:
         import copy as _copy
         prev_snap = _copy.deepcopy(asm.counters) if vcounters else None

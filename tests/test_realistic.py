@@ -76,3 +76,45 @@ def test_phred64_bit_identical(extra):
     got = run_cli(base + extra)
     assert ref.stdout, "reference produced no output"
     assert got.stdout == ref.stdout, _diff_head(ref.stdout, got.stdout)
+
+
+def test_million_pair_soak():
+    """Opt-in large-scale soak (PSQ_SOAK=1): sha256 byte-equality with
+    the reference over the ~1M-pair mega dataset, simple_bayesian and
+    rdp_mle. Last run 2026-08-17 on the v5e dev chip: both match
+    (1,048,576 pairs; see docs/PERF.md). Regenerate the dataset with
+    tests/golden/make_data.py --pairs 1048576 --out-prefix
+    tests/data/mega."""
+    import hashlib
+    import subprocess
+
+    if not os.environ.get("PSQ_SOAK"):
+        pytest.skip("set PSQ_SOAK=1 (runs ~1M pairs; needs mega data)")
+    f1 = os.path.join(DATA, "mega_1.fastq")
+    f2 = os.path.join(DATA, "mega_2.fastq")
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        pytest.skip("mega dataset not generated")
+    from pandaseq_tpu import oracle
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import native
+    from pandaseq_tpu.io.prefetch import prefetch
+
+    for algo in ("simple_bayesian", "rdp_mle"):
+        args = [REF_BIN, "-T", "1", "-f", f1, "-r", f2]
+        if algo != "simple_bayesian":
+            args[1:1] = ["-A", algo]
+        href = hashlib.sha256(
+            subprocess.run(args, capture_output=True).stdout).hexdigest()
+        cfg = oracle.OracleConfig() if algo == "simple_bayesian" else \
+            oracle.OracleConfig(algorithm=oracle.make_algorithm(algo))
+        asm = BatchAssembler(cfg, L=512)
+        h = hashlib.sha256()
+
+        def batches():
+            yield from native.NativeBatchReader(f1, f2, batch=8192,
+                                                L=512)
+        for _, codes, payload in asm.emit_stream(
+                prefetch(asm.pre_stream(batches())), depth=3,
+                threaded=True):
+            h.update(payload)
+        assert h.hexdigest() == href, algo

@@ -18,6 +18,7 @@ Each opener reproduces its plugin's argument grammar and error messages
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -514,11 +515,37 @@ def register(name: str, opener, description: str = "", usage: str = ""):
 
 
 def load_module(spec: str, logger) -> Module:
-    """panda_module_load (module.c:227-298): ``name`` or ``name:args``."""
+    """panda_module_load (module.c:227-298): ``name`` or ``name:args``.
+
+    Like lt_dlopenext, a name containing a path separator (or ending in
+    .py) loads a user module FILE — the pandaxs analogue: a Python file
+    exporting ``api = 3`` (module.c:262-269 requires PANDA_API) and
+    ``opener(args, logger) -> Module`` (the plugin OPEN contract,
+    pandaseq-plugin.h:33). The extension is appended if missing."""
     if ":" in spec:
         name, args = spec.split(":", 1)
     else:
         name, args = spec, None
+    if os.sep in name or name.endswith(".py"):
+        path = name if os.path.exists(name) else name + ".py"
+        if not os.path.exists(path):
+            logger.write_str("Unable to open module %s." % name)
+            raise ModuleError(name)
+        import importlib.util
+        mspec = importlib.util.spec_from_file_location(
+            "psq_user_module_%s" % os.path.basename(path)[:-3], path)
+        pymod = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(pymod)
+        if getattr(pymod, "api", None) != 3:
+            logger.write_str(
+                "Module %s is using an incompatible API version."
+                % name)
+            raise ModuleError(name)
+        mod = pymod.opener(args, logger)
+        if not isinstance(mod, Module):
+            logger.write_str("Unable to open module %s." % name)
+            raise ModuleError(name)
+        return mod
     entry = REGISTRY.get(name)
     if entry is None:
         logger.write_str("Unable to open module %s." % name)

@@ -173,3 +173,40 @@ def test_pear_test_negative_l_terminates():
 
     got = mod.check_batch(_View(), np.array([True]))
     assert got.tolist() == [False]
+
+
+def test_load_module_from_file(tmp_path):
+    """lt_dlopenext analogue: -C /path/to/module.py loads a user plugin
+    file exporting api=3 + opener(args, logger) (the pandaxs story)."""
+    from pandaseq_tpu import filters, stats
+
+    src = tmp_path / "only_short.py"
+    src.write_text(
+        "from pandaseq_tpu.filters import Module\n"
+        "api = 3\n"
+        "def opener(args, logger):\n"
+        "    lim = int(args or 100)\n"
+        "    return Module('only_short',\n"
+        "                  check=lambda r: r.sequence_length <= lim,\n"
+        "                  args=args,\n"
+        "                  check_batch=lambda v, s:\n"
+        "                      v.sequence_length <= lim)\n")
+    logger = stats.LogProxy(open(os.devnull, "wb"))
+    mod = filters.load_module(str(src) + ":120", logger)
+    assert mod.name == "only_short"
+
+    class R:
+        sequence_length = 100
+    assert mod.check(R())
+    R.sequence_length = 200
+    assert not mod.check(R())
+
+    # extension appended like lt_dlopenext; api mismatch rejected
+    mod2 = filters.load_module(str(tmp_path / "only_short"), logger)
+    assert mod2.check is not None
+    bad = tmp_path / "badapi.py"
+    bad.write_text("api = 2\n"
+                   "def opener(a, l):\n"
+                   "    return None\n")
+    with pytest.raises(filters.ModuleError):
+        filters.load_module(str(bad), logger)

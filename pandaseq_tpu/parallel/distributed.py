@@ -73,7 +73,10 @@ def reduce_counters(counters, histogram: dict):
     total = jax.jit(
         lambda x: jnp.sum(x, axis=0, dtype=jnp.int32),
         out_shardings=jax.NamedSharding(mesh, P()))(arr)
-    out = np.asarray(total)
+    # total is replicated; np.asarray on an array spanning remote
+    # devices raises in a real multi-process runtime — read this
+    # process's own copy
+    out = np.asarray(total.addressable_data(0))
     hist = {o: int(out[8 + o]) for o in range(1024) if out[8 + o] > 0}
     return out[:8], hist
 
@@ -166,7 +169,11 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
     mesh = None
     if jax.local_device_count() > 1:
         from .shard import make_mesh
-        mesh = make_mesh(jax.local_device_count(), op=1)
+        # per-host LOCAL mesh: each host dp-shards its own batches
+        # over its own chips only (jax.devices() is global in a
+        # multi-process runtime)
+        mesh = make_mesh(jax.local_device_count(), op=1,
+                         devices=jax.local_devices())
     asm = BatchAssembler(cfg, L=L, modules=list(modules), mesh=mesh)
     fmt = out_mod.format_fastq if fastq else out_mod.format_fasta
     if checkpoint and pcount > 1:

@@ -37,13 +37,16 @@ from ..ops import fused2
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              op: int = 1) -> Mesh:
+              op: int = 1, devices=None) -> Mesh:
     """Build a (dp, op) mesh over the first ``n_devices`` devices.
 
     dp shards the read-pair batch; op shards the overlap-plane rows.
-    Default: all devices on the dp axis.
+    Default: all devices on the dp axis. Pass ``devices`` explicitly
+    for a per-host local mesh in a multi-process runtime
+    (jax.devices() is GLOBAL there — a mesh built from another
+    process's devices deadlocks its collectives).
     """
-    devs = jax.devices()
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is None:
         n_devices = len(devs)
     if dp is None:

@@ -1485,8 +1485,11 @@ long psq_finalize(
         const int32_t *row = plane + b * W;
         long maxo = (long) F.flen + F.rlen - minoverlap - fo - ro - 1;
         if (maxoverlap_cfg == 0) {
-            long mn = F.flen < F.rlen ? F.flen : F.rlen;
-            maxo = maxo < mn ? maxo : mn;
+            // REPLACE, not min: the reference discards the
+            // offset-derived bound when maxoverlap is 0
+            // (assembler.c:78-82) — deep primer offsets still score
+            // large overlaps and then fail the post-align len check
+            maxo = F.flen < F.rlen ? F.flen : F.rlen;
         } else if (maxo > maxoverlap_cfg) {
             maxo = maxoverlap_cfg;
         }

@@ -247,10 +247,14 @@ def shortlist_from_counts(m, unk, candc, lutsum, flen, rlen, fo, ro, *,
         - jnp.maximum(0, o2 - flen[:, None]))  # [B, O]
     mm = nvalid - m - unk
 
-    # candidate range (assembler.c:73-84,118)
+    # candidate range (assembler.c:73-84,118). maxoverlap == 0
+    # REPLACES the offset-derived bound with min(flen, rlen) — the
+    # reference discards it entirely (assembler.c:78-82), so deep
+    # primer offsets still score large overlaps (which then fail the
+    # post-align len check as NOALGN, assembler.c:145-150)
     maxo = flen + rlen - minoverlap - fo - ro - 1
     if maxoverlap == 0:
-        maxo = jnp.minimum(maxo, jnp.minimum(flen, rlen))
+        maxo = jnp.minimum(flen, rlen)
     else:
         maxo = jnp.minimum(maxo, maxoverlap)
     in_range = (o2 >= minoverlap) & (o2 <= maxo[:, None])

@@ -89,3 +89,31 @@ def test_primer_penalty():
                         reverse_primer=_nt_codes(REV_PRIMER, complement=True),
                         primer_penalty=0.01)
     assert got == ref, _diff_head(ref, got)
+
+
+def test_deep_primer_offset_negs_golden():
+    """Deep primer hits (offset near the read end) must still score
+    large overlaps: with -O 0 the reference REPLACES the offset-derived
+    overlap bound with min(flen, rlen) (assembler.c:78-82), finds the
+    true overlap, and rejects the pair post-align with NEGS -> NOALGN
+    (assembler.c:145-150, 293-299). Taking min() of the two bounds
+    instead silently assembled these two pairs (found at the 204,800-
+    pair primers soak; byte-level regression)."""
+    import subprocess
+    import sys
+
+    from tests.test_oracle_golden import REF_BIN, _ensure_ref
+
+    _ensure_ref()
+    args = ["-T", "1", "-p", "GTGCCAGCMGCCGCGGTAA",
+            "-q", "GGACTACHVGGGTWTCTAAT",
+            "-f", os.path.join(DATA, "negs_1.fastq"),
+            "-r", os.path.join(DATA, "negs_2.fastq")]
+    ref = subprocess.run([REF_BIN, *args], capture_output=True)
+    got = subprocess.run(
+        [sys.executable, "-m", "pandaseq_tpu.cli.main", *args],
+        capture_output=True, cwd=ROOT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert got.stdout == ref.stdout  # both empty: NOALGN x2
+    assert b"STAT\tNOALGN\t2" in ref.stderr
+    assert b"STAT\tNOALGN\t2" in got.stderr

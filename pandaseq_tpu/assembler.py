@@ -786,7 +786,8 @@ class BatchAssembler:
             fmt)
         out = [_OK_TUPLE] * B
         sids = st["batch"].sids
-        for b in np.flatnonzero(~sel):
+        nonok_rows = np.flatnonzero(~sel)
+        for b in nonok_rows:
             if module_rej[b]:
                 out[b] = ("MODULE", None)
             elif lowq[b]:
@@ -804,7 +805,7 @@ class BatchAssembler:
         extras = dict(scored=(osc[:, 5] & 1) != 0,
                       overlap=osc[:, 0].astype(np.int64),
                       counters_delta=cc, hist_delta=hist_full,
-                      nonok_rows=np.flatnonzero(~sel))
+                      nonok_rows=nonok_rows)
         return out, payload, extras
 
     def _emit_from_native(self, st, r, emit):
@@ -827,7 +828,8 @@ class BatchAssembler:
         # per-record Python objects (the loop over 8192 rows was ~3 ms)
         out = [_OK_TUPLE] * len(codes)
         sids = st["batch"].sids
-        for b in np.flatnonzero(codes):
+        nonok_rows = np.flatnonzero(codes)
+        for b in nonok_rows:
             cd = codes[b]
             res = None
             if cd == 6:  # LOWQ: logger needs quality + sid
@@ -840,7 +842,7 @@ class BatchAssembler:
                       # per-batch deltas for per-thread STAT attribution
                       # (pool.c:83-104 prints each assembler's tallies)
                       counters_delta=cc.copy(), hist_delta=hist,
-                      nonok_rows=np.flatnonzero(codes))
+                      nonok_rows=nonok_rows)
         return out, r["payload"], extras
 
     def _results_from_native(self, st, r):

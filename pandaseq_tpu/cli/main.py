@@ -518,17 +518,26 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
             nonok = extras.get("nonok_rows")
             if nonok is not None and not log_bestolp:
                 # fast path: touch only rejected rows (OK rows need no
-                # per-pair Python objects); TIME/READS cadence per 1000
-                # reads is preserved (pool.c:76-80)
+                # per-pair Python objects); the TIME/READS blocks stay
+                # interleaved at their exact 1000-read boundaries
+                # between reject lines (pool.c:76-80 ordering)
                 nb = len(codes)
                 if len(nonok) < nb:
                     some_seqs = True
+                next_mark = (done // 1000 + 1) * 1000
                 for i in nonok:
+                    # boundaries of records strictly before this one
+                    # print first; a reject ON the boundary record
+                    # precedes its own TIME block (the per-record loop
+                    # handled the reject before the done%1000 check)
+                    while next_mark <= done + i:
+                        reporter.print_time(next_mark)
+                        next_mark += 1000
                     code, res = codes[i]
                     handle_reject(pairs[i], code, res)
-                for k in range(done // 1000 + 1,
-                               (done + nb) // 1000 + 1):
-                    reporter.print_time(k * 1000)
+                while next_mark <= done + nb:
+                    reporter.print_time(next_mark)
+                    next_mark += 1000
                 done += nb
             else:
                 for i, (pair, (code, res)) in enumerate(zip(pairs,

@@ -527,21 +527,30 @@ def load_module(spec: str, logger) -> Module:
     else:
         name, args = spec, None
     if os.sep in name or name.endswith(".py"):
-        path = name if os.path.exists(name) else name + ".py"
-        if not os.path.exists(path):
+        path = name if os.path.isfile(name) else name + ".py"
+        if not os.path.isfile(path):
             logger.write_str("Unable to open module %s." % name)
             raise ModuleError(name)
         import importlib.util
-        mspec = importlib.util.spec_from_file_location(
-            "psq_user_module_%s" % os.path.basename(path)[:-3], path)
-        pymod = importlib.util.module_from_spec(mspec)
-        mspec.loader.exec_module(pymod)
+        try:
+            mspec = importlib.util.spec_from_file_location(
+                "psq_user_module_%s" % os.path.basename(path)[:-3],
+                path)
+            pymod = importlib.util.module_from_spec(mspec)
+            mspec.loader.exec_module(pymod)
+        except ModuleError:
+            raise
+        except Exception as e:  # lt_dlopenext failure -> clean error
+            logger.write_str("Unable to open module %s. (%s)"
+                             % (name, e))
+            raise ModuleError(name)
         if getattr(pymod, "api", None) != 3:
             logger.write_str(
                 "Module %s is using an incompatible API version."
                 % name)
             raise ModuleError(name)
-        mod = pymod.opener(args, logger)
+        opener = getattr(pymod, "opener", None)
+        mod = opener(args, logger) if callable(opener) else None
         if not isinstance(mod, Module):
             logger.write_str("Unable to open module %s." % name)
             raise ModuleError(name)

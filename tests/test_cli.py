@@ -301,3 +301,29 @@ def test_emit_stream_early_exit_drains_counters():
     assert c.count > n_seen  # batches beyond the first were in flight
     total = c.ok + c.lowq + c.noalgn + c.badread + c.nofp + c.norp
     assert total == c.count
+
+
+def test_stderr_line_sequence_parity():
+    """The full stderr log line SEQUENCE (reject lines, BESTOLP, the
+    1000-read TIME/ELAPSED/READS blocks, final STAT counters) matches
+    the reference's ordering exactly — not just the counter values
+    (pool.c:76-80 cadence, proxy.c line formats). Volatile fields
+    (timestamps, thread ptr prefixes, process noise) are masked."""
+    import re
+
+    def norm(raw):
+        out = []
+        for ln in raw.decode(errors="replace").splitlines():
+            if re.match(r"^[EWI]\d{4} ", ln):  # absl/XLA process noise
+                continue
+            ln = re.sub(r"0x[0-9a-f]+:\d+\t", "", ln)
+            ln = re.sub(r"STAT\tTIME\t.*", "STAT\tTIME\t<t>", ln)
+            ln = re.sub(r"STAT\tELAPSED\t\d+", "STAT\tELAPSED\t<e>", ln)
+            if ln.startswith(("INFO\tVER", "INFO\tUNAME", "ARG[")):
+                continue
+            out.append(ln)
+        return out
+
+    ref = run_ref(BASE)
+    got = run_cli(["-T", "1"] + BASE)
+    assert norm(got.stderr) == norm(ref.stderr)

@@ -32,7 +32,7 @@ DEPTH = int(os.environ.get("BENCH_DEPTH", "3"))
 # brownouts (2-5x); run the timed section several times spread over a
 # few minutes and report the best pass so the metric reflects the
 # system, not the transport congestion of the moment
-PASSES = int(os.environ.get("BENCH_PASSES", "5"))
+PASSES = int(os.environ.get("BENCH_PASSES", "8"))
 PASS_GAP_S = float(os.environ.get("BENCH_PASS_GAP_S", "20"))
 
 
@@ -63,7 +63,7 @@ def bench_reference() -> float | None:
             log(f"reference build failed: {e}")
             return None
     best = None
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         with open(os.devnull, "wb") as devnull:
             subprocess.run([REF_BIN, "-f", B1, "-r", B2], stdout=devnull,
@@ -71,7 +71,7 @@ def bench_reference() -> float | None:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     log(f"reference: {N_PAIRS} pairs in {best:.2f}s = "
-        f"{N_PAIRS/best:.0f} pairs/s (best of 2)")
+        f"{N_PAIRS/best:.0f} pairs/s (best of 4)")
     return N_PAIRS / best
 
 

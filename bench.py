@@ -145,7 +145,7 @@ def bench_tpu():
     from pandaseq_tpu.io.prefetch import prefetch
     rates = []
     budget_end = time.perf_counter() + float(
-        os.environ.get("BENCH_BUDGET_S", "540"))
+        os.environ.get("BENCH_BUDGET_S", "900"))
     while True:
         asm = BatchAssembler(L=512)
         t0 = time.perf_counter()

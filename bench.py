@@ -172,20 +172,25 @@ def bench_tpu():
     best_rate = max(rates)
     log(f"end-to-end (best of {len(rates)} passes): {best_rate:.0f} "
         f"pairs/s")
-    return best_rate, step_ms, mfu
+    return best_rate, step_ms, mfu, [round(r, 1) for r in rates]
 
 
 def main():
     ensure_data()
     ref_rate = bench_reference()
-    tpu_rate, step_ms, mfu = bench_tpu()
+    tpu_rate, step_ms, mfu, passes = bench_tpu()
     vs = round(tpu_rate / ref_rate, 3) if ref_rate else None
+    # passes documents the dev tunnel's bandwidth weather (2-10x
+    # multi-minute brownouts); value is the best converged sample
     print(json.dumps({"metric": "read_pairs_per_sec",
                       "value": round(tpu_rate, 1),
                       "unit": "pairs/s",
                       "vs_baseline": vs,
                       "device_step_ms": round(step_ms, 1),
-                      "mfu_pct": round(mfu, 2)}))
+                      "mfu_pct": round(mfu, 2),
+                      "reference_pairs_per_sec": round(ref_rate, 1)
+                      if ref_rate else None,
+                      "passes": passes}))
 
 
 if __name__ == "__main__":

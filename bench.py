@@ -160,13 +160,13 @@ def bench_tpu():
         rates.append(n_in / total)
         log(f"pass {len(rates)}: {n_in} pairs in {total:.2f}s "
             f"({asm.counters.ok} OK) = {n_in/total:.0f} pairs/s")
-        # stop once the two best passes agree within 10% (the best is
-        # then a converged capability sample, not a lucky outlier);
-        # otherwise keep sampling across brownout windows
-        top = sorted(rates, reverse=True)
-        converged = len(rates) >= 3 and top[1] >= 0.9 * top[0]
-        if (len(rates) >= PASSES and converged) \
-                or time.perf_counter() > budget_end:
+        # sample the FULL budget: agreement between passes says
+        # nothing in a uniformly-browned tunnel window (measured: 8
+        # passes all within 10% of each other at 1/6 of the healthy
+        # rate). The best across ~15 minutes of weather is the
+        # capability sample.
+        if len(rates) >= PASSES \
+                and time.perf_counter() > budget_end:
             break
         time.sleep(PASS_GAP_S)
     best_rate = max(rates)

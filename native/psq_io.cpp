@@ -590,7 +590,18 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             }
             o.reached = true;
             if (fl == 0) {
-                o.status = 1;  // NODATA: skip record (fastq.c:191)
+                // NODATA: skip record (fastq.c:191) — but the serial
+                // reader has already decoded the quals into the
+                // persistent buffers by this point, so stage this
+                // record's qual rows too; phase 3 applies them to
+                // r->fwd_q/rev_q without emitting the row
+                o.status = 1;
+                o.fl = fl;
+                o.rl = rl;
+                int8_t *qd = fwd_q + row * stride;
+                for (int j = 0; j < fl; j++) qd[j] = fq[fl - 1 - j];
+                qd = rev_q + row * stride;
+                for (int j = 0; j < rl; j++) qd[j] = rq[rl - 1 - j];
                 continue;
             }
             o.status = 0;
@@ -640,7 +651,19 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                 stop = true;
                 break;
             }
-            if (o.status == 1) continue;  // NODATA skip
+            if (o.status == 1) {
+                // NODATA: the record still updates the persistent
+                // quality buffers (the serial path's read_seq ran
+                // before the skip, fastq.c:45-104,191) — raw order
+                // from the staged reversed rows; no row emitted
+                const int8_t *qrow = fwd_q + (n + k) * stride;
+                for (int j = 0; j < o.fl; j++)
+                    r->fwd_q[j] = qrow[o.fl - 1 - j];
+                qrow = rev_q + (n + k) * stride;
+                for (int j = 0; j < o.rl; j++)
+                    r->rev_q[j] = qrow[o.rl - 1 - j];
+                continue;
+            }
             long src = n + k, dst_row = n + emitted;
             int8_t *fqrow = fwd_q + src * stride;
             memcpy(fqrow + o.fl, r->fwd_q + o.fl, MAX_LEN - o.fl);
@@ -1342,42 +1365,6 @@ void psq_pear_test(const double *T, long Tstride, const int64_t *o,
             if (product < lim) break;
         }
         out[r] = cutoff > 1.0 - product * product;
-    }
-}
-
-// 6-bit packed upload for the sparse candidate step: from the
-// nibble-packed nt plane [B, stride] (fwd | rev<<4) build
-// [B, 3*Lb/4] int8 columns [fwd2 | rev2 | fwdN | revN] — 2-bit k-mer
-// codes (misc.h:41) stride-major 4 positions/byte plus N bitmasks 8
-// positions/byte (see ops/fused2.py:assemble_candidates_packed).
-void psq_pack6(const int8_t *nt_pack, long B, long stride, long Lb,
-               int8_t *out) {
-    long q = Lb / 4, e = Lb / 8, W = 3 * q;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-    for (long b = 0; b < B; b++) {
-        const uint8_t *src = (const uint8_t *) nt_pack + b * stride;
-        uint8_t *dst = (uint8_t *) out + b * W;
-        memset(dst, 0, (size_t) W);
-        uint8_t *f2 = dst, *r2 = dst + q;
-        uint8_t *fN = dst + 2 * q, *rN = dst + 2 * q + e;
-        for (int t = 0; t < 4; t++) {
-            const uint8_t *s = src + t * q;
-            for (long k = 0; k < q; k++) {
-                uint8_t v = s[k];
-                f2[k] |= (uint8_t) (K2[v & 0x0F] << (2 * t));
-                r2[k] |= (uint8_t) (K2[v >> 4] << (2 * t));
-            }
-        }
-        for (int t = 0; t < 8; t++) {
-            const uint8_t *s = src + t * e;
-            for (long k = 0; k < e; k++) {
-                uint8_t v = s[k];
-                if ((v & 0x0F) == 0x0F) fN[k] |= (uint8_t) (1 << t);
-                if ((v >> 4) == 0x0F) rN[k] |= (uint8_t) (1 << t);
-            }
-        }
     }
 }
 

@@ -711,7 +711,9 @@ class BatchAssembler:
         else:
             fb = self._resolve_fallbacks(st, plane)
         fmt = 0 if emit is None else (2 if emit == "fastq" else 1)
-        if emit is not None and self.modules:
+        check_mods = [m for m in self.modules
+                      if m.check is not None or m.check_batch is not None]
+        if emit is not None and check_mods:
             # batched module path: reconstruct to arrays, vectorized
             # module verdicts, then the native emit-only pass
             B = st["B"]
@@ -780,10 +782,13 @@ class BatchAssembler:
         hist = np.bincount(osc[sel, 0], minlength=1)
         for o in np.flatnonzero(hist):
             c.overlaps[int(o)] = c.overlaps.get(int(o), 0) + int(hist[o])
+        cap = B * (416 + 2 * 928 + 64)
+        if self._payload_buf is None or self._payload_buf.nbytes < cap:
+            self._payload_buf = np.empty(cap, dtype=np.uint8)
         payload = _native.emit(
             r["ascii"], r["pidx"], osc[:, 1], r["quality"],
             sel.view(np.uint8), st["batch"].ids_bytes(), self._phtbl,
-            fmt)
+            fmt, payload_buf=self._payload_buf)
         out = [_OK_TUPLE] * B
         sids = st["batch"].sids
         nonok_rows = np.flatnonzero(~sel)
@@ -971,6 +976,15 @@ class BatchAssembler:
                 if res.quality < cfg.threshold:
                     c.lowq += 1
                     out[b] = ("LOWQ", res)
+                    continue
+                keep = True
+                for mod in self.modules:  # check chain (assembler.c:339)
+                    if mod.check is not None and not mod.check(res):
+                        mod.rejected += 1
+                        keep = False
+                        break
+                if not keep:
+                    out[b] = ("MODULE", res)
                     continue
                 c.ok += 1
                 c.record_overlap(res.overlap)

@@ -95,17 +95,15 @@ class HangBatchFilter:
             flen = b.flen.astype(np.int64).copy()
             rlen = b.rlen.astype(np.int64).copy()
             any_primer = False
+            fmiss = rmiss = None
             if self.fwd is not None and len(self.fwd):
                 any_primer = True
                 off = _native.compute_offsets(
                     b.fwd_nt, b.fwd_q, b.flen, self.fwd,
                     self.threshold, 0.0, rev_scan=True)
-                miss = off == 0
-                for i in np.flatnonzero(miss):
-                    self.logger.write("NOFP", sid=b.sids[i],
-                                      message="OVERHANGING REJECT")
+                fmiss = off == 0
                 if not self.skip:
-                    keep &= ~miss
+                    keep &= ~fmiss
                 flen = np.where(off != 0, flen - (off - 1), flen)
             if self.rev is not None and len(self.rev):
                 any_primer = True
@@ -114,13 +112,24 @@ class HangBatchFilter:
                 off = _native.compute_offsets(
                     b.rev_nt, b.rev_q, b.rlen, self.rev,
                     self.threshold, 0.0, rev_scan=True)
-                miss = (off == 0) & keep
-                for i in np.flatnonzero(miss):
+                rmiss = (off == 0) & keep
+                if not self.skip:
+                    keep &= ~rmiss
+                rlen = np.where(off != 0, rlen - (off - 1), rlen)
+            # reject lines in the per-pair reader's order: pair order,
+            # NOFP before NORP within a pair (hang.c logs as it scans)
+            rej = np.zeros(B, dtype=bool)
+            if fmiss is not None:
+                rej |= fmiss
+            if rmiss is not None:
+                rej |= rmiss
+            for i in np.flatnonzero(rej):
+                if fmiss is not None and fmiss[i]:
+                    self.logger.write("NOFP", sid=b.sids[i],
+                                      message="OVERHANGING REJECT")
+                if rmiss is not None and rmiss[i]:
                     self.logger.write("NORP", sid=b.sids[i],
                                       message="OVERHANGING REJECT")
-                if not self.skip:
-                    keep &= ~miss
-                rlen = np.where(off != 0, rlen - (off - 1), rlen)
             if not any_primer:
                 return b
             if keep.any():

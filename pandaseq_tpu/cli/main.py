@@ -571,7 +571,12 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                          cur.nofp - p.nofp, cur.norp - p.norp,
                          cur.slow - p.slow]
                 vc = vcounters[batch_no % threads]
-                attribute(vc, delta, None, cur.count - p.count)
+                # READS for THIS batch: counters.count increments at
+                # _pre time, which the pipeline runs depth batches
+                # ahead — cur.count - p.count would attribute future
+                # batches' reads to this thread (and zero to the
+                # drain-phase ones)
+                attribute(vc, delta, None, len(pairs))
                 for o, n in cur.overlaps.items():
                     d = n - p.overlaps.get(o, 0)
                     if d:

@@ -301,8 +301,12 @@ def _open_overlap_stat(args, logger):
     counts = np.zeros(MAX_LEN, dtype=np.int64)
 
     def check(res):
+        # examined can exceed MAX_LEN under -O > 450; the reference
+        # writes past its malloc'd counts[] there (heap overflow UB,
+        # plugin_overlap_stat.c:23) — we clamp into the last bucket
+        # in both the scalar and batched paths instead
         if res.overlaps_examined > 0:
-            counts[res.overlaps_examined - 1] += 1
+            counts[min(res.overlaps_examined, MAX_LEN) - 1] += 1
         return True
 
     def destroy():

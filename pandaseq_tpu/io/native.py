@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 # The pipeline calls OpenMP regions from several pthreads (decoder on
-# the prefetch thread, finalize on its worker, pack6/pear_test on the
+# the prefetch thread, finalize on its worker, pack4/pear_test on the
 # main thread); libgomp keeps one thread pool PER calling pthread and
 # its default wait policy spin-waits between regions, so the idle pools
 # burn whole cores against the active one. Passive waiting removes the
@@ -135,10 +135,6 @@ def get_lib():
     lib.psq_quality.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                 ctypes.c_long, ctypes.c_void_p,
                                 ctypes.c_void_p, ctypes.c_void_p]
-    lib.psq_pack6.restype = None
-    lib.psq_pack6.argtypes = [ctypes.c_void_p, ctypes.c_long,
-                              ctypes.c_long, ctypes.c_long,
-                              ctypes.c_void_p]
     lib.psq_pack4.restype = None
     lib.psq_pack4.argtypes = [ctypes.c_void_p, ctypes.c_long,
                               ctypes.c_long, ctypes.c_long,
@@ -150,20 +146,6 @@ def get_lib():
                                      ctypes.c_long, ctypes.c_void_p]
     _lib = lib
     return lib
-
-
-def pack6(batch, Lb: int):
-    """[B, 3*Lb/4] 6-bit packed upload plane for the sparse candidate
-    step (psq_pack6); None without the native library."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    ntp = batch.nt_packed()
-    B = ntp.shape[0]
-    out = np.empty((B, 3 * Lb // 4), dtype=np.int8)
-    lib.psq_pack6(ntp.ctypes.data, B, ntp.shape[1], Lb,
-                  out.ctypes.data)
-    return out
 
 
 def pack4(batch, Lb: int):
@@ -280,9 +262,11 @@ def pear_test_check(T, o, mm, hi, alpha, beta, cutoff):
 
 
 def emit(ascii_arr, pidx_arr, seq_len, quality, emit_mask, ids, phtbl,
-         fmt):
+         fmt, payload_buf=None):
     """Payload bytes for the selected rows (psq_emit; output.c:85-126).
-    None when the native library is unavailable."""
+    None when the native library is unavailable. payload_buf: optional
+    reusable output buffer (a fresh ~19 MB allocation per batch
+    otherwise)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -291,7 +275,10 @@ def emit(ascii_arr, pidx_arr, seq_len, quality, emit_mask, ids, phtbl,
     q64 = np.ascontiguousarray(quality, np.float64)
     em8 = np.ascontiguousarray(emit_mask, np.uint8)
     cap = B * (ids.shape[1] + 2 * 928 + 64)
-    payload = np.empty(cap, dtype=np.uint8)
+    if payload_buf is not None and payload_buf.nbytes >= cap:
+        payload = payload_buf
+    else:
+        payload = np.empty(cap, dtype=np.uint8)
     n = lib.psq_emit(ascii_arr.ctypes.data, pidx_arr.ctypes.data,
                      sl32.ctypes.data, q64.ctypes.data, em8.ctypes.data,
                      B, L2cap, ids.ctypes.data, ids.shape[1],
@@ -301,9 +288,6 @@ def emit(ascii_arr, pidx_arr, seq_len, quality, emit_mask, ids, phtbl,
         raise RuntimeError("psq_emit payload overflow")
     return bytes(payload[:n])
 
-
-# psq_finalize verdict code ids
-FIN_CODES = ["OK", "BADR", "MODULE", "NOFP", "NORP", "NOALGN", "LOWQ"]
 
 
 def finalize(batch, skip, fo, ro, plane, SL, fb, algo_params, cfg_params,

@@ -515,52 +515,6 @@ def assemble_candidates_nt(nt_pack, flen, rlen, *, L: int,
 
 
 @functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers"))
-def assemble_candidates_packed(plane6, flen, rlen, *, L: int,
-                               O: int | None = None, num_kmers: int = 2):
-    """assemble_candidates_nt on the 6-bit packed upload.
-
-    ``plane6`` is [B, 3*L/4] int8, columns [fwd2 | rev2 | fwdN | revN]:
-      * fwd2/rev2: [B, L/4] — byte k holds the 2-bit k-mer codes
-        (misc.h:41: T=3,G=2,C=1, everything else incl. A/N/degenerate/
-        pad = 0) of frame positions {k + t*L/4} in bits 2t..2t+1
-        (stride-major so device unpack is 4 shifted lane-slices +
-        batch-safe concat, never a minor-dim interleave — Mosaic
-        relayouts cost ~50 ms at these shapes);
-      * fwdN/revN: [B, L/8] — bit t of byte k flags position k + t*L/8
-        as N (0x0F). Pads read as non-N, matching nt==0 semantics.
-
-    The candidate search needs nothing else — 2-bit codes feed the
-    k-mer values, N bits feed the emission gates — so the upload drops
-    from 8 to 6 bits/position (native/psq_io.cpp:psq_pack6 builds the
-    plane in one OpenMP pass)."""
-    if O is None:
-        O = L
-    assert L % 8 == 0, L
-    flen = flen.astype(jnp.int32)
-    rlen = rlen.astype(jnp.int32)
-    q = L // 4
-    e = L // 8
-    p32 = plane6.astype(jnp.int32) & 0xFF
-    fwd2 = p32[:, :q]
-    rev2 = p32[:, q:2 * q]
-    fwdN = p32[:, 2 * q:2 * q + e]
-    revN = p32[:, 2 * q + e:2 * q + 2 * e]
-    unpack2 = lambda w: jnp.concatenate(
-        [(w >> (2 * t)) & 3 for t in range(4)], axis=1)  # [B, L]
-    unpack1 = lambda w: jnp.concatenate(
-        [(w >> t) & 1 for t in range(8)], axis=1)  # [B, L]
-    cf = unpack2(fwd2)
-    cr = unpack2(rev2)
-    nonn_f = unpack1(fwdN) == 0
-    nonn_r = unpack1(revN) == 0
-    Fkm, Rkm = kmer_frames_codes(cf, nonn_f, cr, nonn_r, flen, rlen,
-                                 L, num_kmers)
-    (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
-    candc = plane_cand(Fkm, Rkm, O)
-    return pack_bits16(candc != 0, O)
-
-
-@functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers"))
 def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
                                 O: int | None = None, num_kmers: int = 2):
     """assemble_candidates_packed without the N planes: [fwd2 | rev2]

@@ -143,9 +143,10 @@ def make_sharded_step(mesh: Mesh, L: int, O: int | None = None,
                       band: float | None = None, lut_match=None,
                       lut_mismatch=None):
     """Jit the production shortlist step over ``mesh``: batch sharded
-    over dp, overlap-plane rows over op. Returns ``step(fr_nt, fr_q,
-    rr_nt, rr_q, flen, rlen, fo, ro) -> [B, 2*SL+4]`` — bit-identical
-    to ops/fused2.assemble_shortlist on one device.
+    over dp, overlap-plane rows over op. Returns ``step(nt_pack, fr_q,
+    rr_q, flen, rlen, fo, ro) -> [B, 2*SL+4]`` (nt_pack = fwd|rev<<4
+    nibble plane) — bit-identical to ops/fused2.assemble_shortlist on
+    one device.
     """
     if O is None:
         O = L

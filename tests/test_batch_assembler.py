@@ -271,3 +271,33 @@ def test_sparse_path_matches_shortlist(algo, cfg_kw):
             np.testing.assert_array_equal(r1.sequence_nt, r2.sequence_nt)
             assert r1.estimated_overlap_probability == \
                 r2.estimated_overlap_probability
+
+
+def test_pyfallback_emit_applies_module_checks(monkeypatch):
+    """No-native fallback: emit_stream with check-stage modules must
+    apply the checks (it silently skipped them before), matching the
+    native modules path's counters and payload."""
+    from pandaseq_tpu import filters, oracle, stats
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable for the baseline")
+    import os
+    logger = stats.LogProxy(open(os.devnull, "wb"))
+    reader = list(native.NativeBatchReader(F1, F2, batch=64, L=512))
+
+    def run():
+        mod = filters.load_module("completely_miss_the_point:0", logger)
+        asm = BatchAssembler(oracle.OracleConfig(), L=512, modules=[mod])
+        payload = b""
+        for _, codes, pl in asm.emit_stream(iter(reader)):
+            payload += pl
+        return payload, mod.rejected, asm.counters.ok
+
+    base_payload, base_rej, base_ok = run()
+    assert base_rej > 0  # mm<=0 rejects plenty on synthetic reads
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    py_payload, py_rej, py_ok = run()
+    assert py_payload == base_payload
+    assert (py_rej, py_ok) == (base_rej, base_ok)

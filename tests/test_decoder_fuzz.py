@@ -106,3 +106,40 @@ def test_decoder_fuzz_native_matches_python(tmp_path):
             it, len(nat_recs), len(py_recs), py_err)
         for a, b in zip(nat_recs, py_recs):
             assert a == b, (it, a[0], b[0])
+
+
+def test_nodata_record_updates_persistent_qual_tails(tmp_path):
+    """A NODATA record (empty forward read) still updates the
+    persistent quality buffers before being skipped (the serial
+    reference decodes quals in read_seq before the fl==0 skip,
+    fastq.c:45-104,191) — so later short reads' stale qual TAILS carry
+    the NODATA record's bytes. The parallel batch decoder staged no
+    rows for NODATA records and diverged here."""
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    def rec(rid, s1, q1, s2, q2, o1, o2):
+        h = "@M00000:7:000000000-TEST1:1:1101:%d:2000" % rid
+        o1.write("%s 1:N:0:ACGTAC\n%s\n+\n%s\n" % (h, s1, q1))
+        o2.write("%s 2:N:0:ACGTAC\n%s\n+\n%s\n" % (h, s2, q2))
+
+    f1 = tmp_path / "a.fastq"
+    f2 = tmp_path / "b.fastq"
+    with open(f1, "w") as o1, open(f2, "w") as o2:
+        rec(10000, "ACGT" * 20, "I" * 80, "TGCA" * 20, "H" * 80, o1, o2)
+        rec(10001, "", "", "GATTACA" * 5, "5" * 35, o1, o2)  # NODATA
+        rec(10002, "ACGTACGT", "I" * 8, "TTGGCCAA", "H" * 8, o1, o2)
+    b = next(iter(native.NativeBatchReader(str(f1), str(f2), batch=16,
+                                           L=512)))
+    raw = b.raw()
+    pairs = list(fq.read_pairs(str(f1), str(f2), policy="PRESENT"))
+    assert len(b.sids) == len(pairs) == 2
+    for i, p in enumerate(pairs):
+        for nat, py in ((raw[1][i][:450], p.fwd_q),
+                        (raw[3][i][:450], p.rev_q)):
+            pyf = np.zeros(450, dtype=nat.dtype)
+            pyf[:min(len(py), 450)] = np.asarray(py)[:450]
+            assert (nat == pyf).all(), i

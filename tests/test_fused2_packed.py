@@ -59,47 +59,11 @@ def test_packed_pear_matches_unpacked():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_candidates_packed_matches_nt():
-    """The 6-bit packed candidate step must equal assemble_candidates_nt
-    bit-for-bit, including N runs and degenerate codes (which the 2-bit
-    k-mer alphabet folds to 0 exactly like misc.h:41)."""
-    from pandaseq_tpu.io import native
-
-    if native.get_lib() is None:
-        import pytest
-        pytest.skip("native library unavailable")
-    rng = np.random.default_rng(11)
-    B, L = 24, 128
-    codes = np.array([1, 2, 4, 8, 15, 15, 5, 10], dtype=np.uint8)
-    fwd = codes[rng.integers(0, len(codes), size=(B, L))]
-    rev = codes[rng.integers(0, len(codes), size=(B, L))]
-    flen = rng.integers(20, L, size=B).astype(np.int32)
-    rlen = rng.integers(20, L, size=B).astype(np.int32)
-    pos = np.arange(L)[None, :]
-    fwd[pos >= flen[:, None]] = 0
-    rev[pos >= rlen[:, None]] = 0
-    nt_pack = (fwd | (rev << 4)).view(np.int8)
-
-    ref = np.asarray(fused2.assemble_candidates_nt(
-        nt_pack, flen, rlen, L=L))
-
-    class _B:
-        sids = list(range(B))
-
-        def nt_packed(self):
-            return nt_pack
-
-    plane6 = native.pack6(_B(), L)
-    assert plane6.shape == (B, 3 * L // 4)
-    got = np.asarray(fused2.assemble_candidates_packed(
-        plane6, flen, rlen, L=L))
-    np.testing.assert_array_equal(got, ref)
-
-
-def test_candidates_pack4_with_host_n_fix_matches_pack6():
+def test_candidates_pack4_with_host_n_fix_matches_nt():
     """The 4-bit upload (no N planes) + the native host mask for
-    N-containing rows must reproduce the 6-bit device result exactly,
-    on data dense with N runs and degenerate codes."""
+    N-containing rows must reproduce the full nibble-plane device
+    result (assemble_candidates_nt, which sees the true N positions)
+    exactly, on data dense with N runs and degenerate codes."""
     from pandaseq_tpu.io import native
 
     if native.get_lib() is None:
@@ -133,8 +97,8 @@ def test_candidates_pack4_with_host_n_fix_matches_pack6():
     _B.flen = flen
     _B.rlen = rlen
 
-    ref = np.asarray(fused2.assemble_candidates_packed(
-        native.pack6(_B(), L), flen, rlen, L=L))
+    ref = np.asarray(fused2.assemble_candidates_nt(
+        nt_pack, flen, rlen, L=L))
 
     plane4, hasN = native.pack4(_B(), L)
     assert plane4.shape == (B, 2 * L // 4)
@@ -148,8 +112,8 @@ def test_candidates_pack4_with_host_n_fix_matches_pack6():
 
     # num_kmers=1 and 3 paths through the host twin as well
     for nk in (1, 3):
-        ref_k = np.asarray(fused2.assemble_candidates_packed(
-            native.pack6(_B(), L), flen, rlen, L=L, num_kmers=nk))
+        ref_k = np.asarray(fused2.assemble_candidates_nt(
+            nt_pack, flen, rlen, L=L, num_kmers=nk))
         got_k = np.array(np.asarray(fused2.assemble_candidates_packed4(
             plane4, flen, rlen, L=L, num_kmers=nk)))
         got_k[rows] = native.cand_mask(_B(), rows, nk, L)

@@ -1231,10 +1231,18 @@ static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
 // rows (frame j' = base flen-1-j'); bit o-1 of out (O/32-word rows,
 // matching pack_bits16) is set iff some stored forward k-mer at frame
 // j' equals an emitted reverse k-mer at frame i with o = j'+i+1.
+// faithful != 0 reproduces the reference's kmerseen table LITERALLY,
+// including its hardcoded-for-num_kmers==2 occupancy check
+// `kmerseen[(KMER << 1) + j]` against stores at
+// `kmerseen[KMER * num_kmers + j]` (assembler.c:94-99): for -k >= 3
+// the check reads other k-mers' slots (in bounds, deterministic), so
+// k-mers get dropped/overwritten in a pattern the spec-style rank
+// logic cannot express. (-k 1 makes the same check read PAST the
+// table — real UB — and is not reproducible; see PARITY.md.)
 void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
                    const int32_t *flen_a, const int32_t *rlen_a,
                    long stride, const int64_t *rows, long nrows,
-                   int num_kmers, long O, int32_t *out) {
+                   int num_kmers, long O, int32_t *out, int faithful) {
     const long W = O / 32;
     const int KM = 8;
 #ifdef _OPENMP
@@ -1258,6 +1266,14 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
     }
     size_t need = (size_t) (1 << 16) * (num_kmers > 0 ? num_kmers : 1);
     if (stored.size() < need) stored.resize(need);
+    static thread_local std::vector<uint16_t> tab;
+    static thread_local std::vector<size_t> touched;
+    // the faithful check indexes up to (0xFFFF<<1)+num_kmers-1; pad so
+    // a (disallowed, python-side-guarded) num_kmers<2 call can't read
+    // past our own vector
+    size_t tneed = need > (size_t) 131072 + num_kmers
+        ? need : (size_t) 131072 + num_kmers;
+    if (faithful && tab.size() < tneed) tab.assign(tneed, 0);
     if (cf.size() < (size_t) stride) {
         cf.resize(stride); cr.resize(stride);
         nf.resize(stride); nr.resize(stride);
@@ -1297,6 +1313,21 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
                 int kv = 0;
                 for (int t = 0; t < KM; t++)
                     kv |= (int) cf[j + t] << (2 * t);
+                if (faithful) {
+                    // literal store: occupancy judged at (kv<<1)+j2
+                    // (the reference's bug), store at kv*num_kmers+j2
+                    int j2;
+                    for (j2 = 0; j2 < num_kmers
+                         && tab[((size_t) kv << 1) + j2] != 0; j2++) ;
+                    if (j2 < num_kmers) {  // else: LOST_KMER
+                        size_t si = (size_t) kv * num_kmers + j2;
+                        if (tab[si] == 0) touched.push_back(si);
+                        // KMER_POSITION: raw fp = FL-1-j (>= 8, so
+                        // nonzero in the emptiness-by-zero scheme)
+                        tab[si] = (uint16_t) (FL - 1 - j);
+                    }
+                    continue;
+                }
                 if (epoch[kv] != ep) {
                     epoch[kv] = ep;
                     cnt[kv] = 0;
@@ -1317,6 +1348,16 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
             int kv = 0;
             for (int t = 0; t < KM; t++)
                 kv |= (int) cr[i - t] << (2 * t);
+            if (faithful) {
+                for (int s = 0; s < num_kmers; s++) {
+                    uint16_t fp = tab[(size_t) kv * num_kmers + s];
+                    if (fp == 0) break;  // probe stops at first empty
+                    long d = (long) (FL - 1 - (int) fp) + i;
+                    if (d >= 0 && d < O)
+                        obits[d >> 5] |= (int32_t) (1u << (d & 31));
+                }
+                continue;
+            }
             if (epoch[kv] != ep) continue;
             int ns = cnt[kv] < num_kmers ? cnt[kv] : num_kmers;
             for (int s = 0; s < ns; s++) {
@@ -1324,6 +1365,10 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
                 if (d < O)
                     obits[d >> 5] |= (int32_t) (1u << (d & 31));
             }
+        }
+        if (faithful) {
+            for (size_t si : touched) tab[si] = 0;
+            touched.clear();
         }
     }
     }

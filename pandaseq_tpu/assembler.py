@@ -618,9 +618,17 @@ class BatchAssembler:
             # 4-bit packed upload: 2-bit k-mer codes only (128 B/pair
             # at Lb=256). The device assumes no Ns; rows flagged hasN
             # get their masks recomputed exactly on host in _finalize
-            # (native psq_cand_mask)
+            # (native psq_cand_mask). num_kmers >= 3 routes EVERY row
+            # through the host's faithful kmerseen simulation — the
+            # reference's misindexed occupancy check
+            # (assembler.c:94-99) drops/overwrites k-mers in a pattern
+            # the device's rank-based seeding cannot express
             plane, hasN = _native.pack4(batch, Lb)
-            st["hasN_rows"] = np.flatnonzero(hasN)
+            if cfg.num_kmers >= 3:
+                st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
+                st["cand_faithful"] = True
+            else:
+                st["hasN_rows"] = np.flatnonzero(hasN)
         elif lut:
             plane = np.concatenate(
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
@@ -703,7 +711,9 @@ class BatchAssembler:
                 # the 4-bit upload dropped the N planes; recompute
                 # these rows' candidate masks exactly on host
                 fix = _native.cand_mask(st["batch"], rows,
-                                        self.cfg.num_kmers, st["O"])
+                                        self.cfg.num_kmers, st["O"],
+                                        faithful=st.get("cand_faithful",
+                                                        False))
                 plane = np.array(plane)  # writable copy
                 plane[rows] = fix
             fb = (np.zeros(B, np.uint8), np.zeros(B, np.int32),

@@ -116,7 +116,7 @@ def get_lib():
     lib.psq_cand_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
-        ctypes.c_long, ctypes.c_void_p]
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
     lib.psq_pear_test.restype = None
     lib.psq_pear_test.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
@@ -164,13 +164,18 @@ def pack4(batch, Lb: int):
     return out, hasN.view(bool)
 
 
-def cand_mask(batch, rows, num_kmers: int, O: int):
+def cand_mask(batch, rows, num_kmers: int, O: int,
+              faithful: bool = False):
     """Exact host candidate bitmask [len(rows), O//32] int32 for the
     given row indices (psq_cand_mask — the device search's host twin,
-    used for N-containing rows under the 4-bit upload)."""
+    used for N-containing rows under the 4-bit upload). faithful
+    reproduces the reference's literal kmerseen table, including its
+    misindexed occupancy check (assembler.c:94-99) — required for
+    num_kmers >= 3, where the check reads other k-mers' slots."""
     lib = get_lib()
     if lib is None:
         return None
+    assert not faithful or num_kmers >= 2, num_kmers
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     out = np.empty((len(rows), O // 32), dtype=np.int32)
     flen32 = np.ascontiguousarray(batch.flen, np.int32)
@@ -178,7 +183,8 @@ def cand_mask(batch, rows, num_kmers: int, O: int):
     lib.psq_cand_mask(batch.fwd_nt.ctypes.data, batch.rev_nt.ctypes.data,
                       flen32.ctypes.data, rlen32.ctypes.data,
                       batch.fwd_nt.shape[1], rows.ctypes.data, len(rows),
-                      int(num_kmers), O, out.ctypes.data)
+                      int(num_kmers), O, out.ctypes.data,
+                      1 if faithful else 0)
     return out
 
 

@@ -336,6 +336,38 @@ def candidate_mask(fwd_nt, flen, rev_nt, rlen, minoverlap, maxoverlap,
     bits_size = (maxoverlap - minoverlap + 1) if minoverlap <= maxoverlap \
         else 1
     bits = np.zeros(bits_size, dtype=bool)
+    if num_kmers >= 3:
+        # FAITHFUL kmerseen simulation: the reference's occupancy
+        # check indexes kmerseen[(KMER << 1) + j] (hardcoded for
+        # num_kmers == 2) while stores go to kmerseen[KMER*num_kmers+j]
+        # (assembler.c:94-99), so for -k >= 3 k-mers are dropped /
+        # overwritten through other k-mers' slots — deterministic and
+        # reproduced literally here. (-k 1 makes the same check read
+        # past the table: real UB, not reproducible; PARITY.md.)
+        tab = np.zeros((1 << 16) * num_kmers + 131072, dtype=np.uint16)
+        for kmer, p in kmer_emissions(fwd_nt, flen, reverse=False):
+            if dbg is not None:  # assembler.c:93
+                dbg(8, "FMER", "%d@%d" % (kmer, p))
+            j = 0
+            while j < num_kmers and tab[(kmer << 1) + j] != 0:
+                j += 1
+            if j < num_kmers:
+                tab[kmer * num_kmers + j] = p  # KMER_POSITION >= 8
+            elif dbg is not None:  # assembler.c:97
+                dbg(1, "LOST_KMER", "%d@%d" % (kmer, p))
+        for kmer, p in kmer_emissions(rev_nt, rlen, reverse=True):
+            if dbg is not None:  # assembler.c:105
+                dbg(8, "RMER", "%d@%d" % (kmer, p))
+            for j in range(num_kmers):
+                fp = int(tab[kmer * num_kmers + j])
+                if fp == 0:
+                    break
+                index = flen + rlen - p - fp - minoverlap - 1
+                if 0 <= index < bits_size:
+                    bits[index] = True
+        if not bits.any():
+            bits[:] = True  # ALL_BITS_IF_NONE (assembler.c:42,118)
+        return bits
     seen: dict[int, list[int]] = {}
     for kmer, p in kmer_emissions(fwd_nt, flen, reverse=False):
         if dbg is not None:  # assembler.c:93

@@ -327,3 +327,21 @@ def test_stderr_line_sequence_parity():
     ref = run_ref(BASE)
     got = run_cli(["-T", "1"] + BASE)
     assert norm(got.stderr) == norm(ref.stderr)
+
+
+def test_kmer_table_misindex_quirk_golden():
+    """-k >= 3: the reference's kmerseen occupancy check indexes
+    kmerseen[(KMER << 1) + j] (hardcoded for k=2) against stores at
+    kmerseen[KMER*num_kmers + j] (assembler.c:94-99), so k-mers drop /
+    overwrite through other k-mers' slots. Deterministic and reproduced
+    literally (oracle.candidate_mask + psq_cand_mask faithful mode,
+    routed for every row when num_kmers >= 3). Surfaces with -O beyond
+    the read length, where the extra/missing candidates change
+    winners. (-k 1 makes the same check read PAST the table — real
+    out-of-bounds UB — and is intentionally NOT reproduced.)"""
+    for k in ("3", "5"):
+        extra = ["-O", "300", "-k", k, "-t", "0.45", "-l", "5"]
+        ref = run_ref(BASE + extra)
+        got = run_cli(["-T", "1"] + BASE + extra)
+        assert ref.stdout, "reference produced no output"
+        assert got.stdout == ref.stdout, k

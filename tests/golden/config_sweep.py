@@ -42,6 +42,16 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 20):
         args += ["-L", str(rng.choice([120, 260, 440]))]
     if rng.random() < 0.2:
         args += ["-N"]
+    if rng.random() < 0.5:  # filter-module chains
+        mods = rng.sample(
+            ["min_phred:%d" % rng.choice([5, 10, 20]),
+             "min_overlapbits",
+             "min_overlapbits:%d" % rng.choice([5, 10, 25]),
+             "completely_miss_the_point:%d" % rng.choice([0, 2, 6]),
+             "empty", "pear_test", "overlap_stat"],
+            k=rng.choice([1, 1, 2, 3]))
+        for m in mods:
+            args += ["-C", m]
     if use_primer_data:
         args += ["-p", FWD, "-q", REV]
         if rng.random() < 0.3:
@@ -54,7 +64,19 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 20):
             args += ["-p", str(rng.choice([1, 5, 20])),
                      "-q", str(rng.choice([1, 5, 20]))]
         files = ["-f", F1, "-r", F2]
-    ref = subprocess.run([REF] + args + files, capture_output=True)
+    if "pear" in args and any("pear_test" in a for a in args):
+        # the reference binary hangs on -A pear -C pear_test
+        # (size_t underflow in the plugin; PARITY.md)
+        print("skip [%s] (reference non-termination bug)"
+              % " ".join(args), flush=True)
+        continue
+    try:
+        ref = subprocess.run([REF] + args + files, capture_output=True,
+                             timeout=120)
+    except subprocess.TimeoutExpired:
+        print("skip [%s] (reference timed out)" % " ".join(args),
+              flush=True)
+        continue
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     got = subprocess.run([sys.executable, "-m", "pandaseq_tpu.cli.main"]
                          + args + files, capture_output=True, cwd=ROOT,

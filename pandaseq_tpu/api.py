@@ -71,7 +71,10 @@ class Assembler:
 
     @minimum_overlap.setter
     def minimum_overlap(self, value):
-        self.cfg.minoverlap = int(value)
+        # panda_assembler_set_minimum_overlap silently ignores values
+        # outside (1, 2*MAX_LEN) (assembler_support.c:276-282)
+        if int(value) > 1 and int(value) < 2 * 450:
+            self.cfg.minoverlap = int(value)
 
     @property
     def maximum_overlap(self):
@@ -79,7 +82,10 @@ class Assembler:
 
     @maximum_overlap.setter
     def maximum_overlap(self, value):
-        self.cfg.maxoverlap = int(value)
+        # setter guard (assembler_support.c:289-295): silently ignores
+        # values outside [0, 2*MAX_LEN)
+        if 0 <= int(value) < 2 * 450:
+            self.cfg.maxoverlap = int(value)
 
     @property
     def num_kmers(self):

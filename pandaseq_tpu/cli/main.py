@@ -254,23 +254,34 @@ def parse_args(argv, prog="pandaseq"):
             if v is None or v < 1 or v > 2 * MAX_LEN:
                 _err("Bad overlap length.")
                 raise ArgsError("minoverlap")
-            c.cfg.minoverlap = v
+            # the args layer accepts [1, 900] but the setter silently
+            # ignores anything outside (1, 900) — so -o 1 and -o 900
+            # leave the default of 2 (assembler_support.c:276-282)
+            if v > 1 and v < 2 * MAX_LEN:
+                c.cfg.minoverlap = v
         elif f == "O":
             v = _safe_int(arg)
             if v is None or v < 0 or v > 2 * MAX_LEN:
                 _err("Bad overlap length.")
                 raise ArgsError("maxoverlap")
-            c.cfg.maxoverlap = v
+            # setter guard is < 2*MAX_LEN, so -O 900 is silently
+            # ignored (assembler_support.c:289-295)
+            if v < 2 * MAX_LEN:
+                c.cfg.maxoverlap = v
         elif f == "p":
             trim, codes = _parse_primer(arg, "forward", complement=False)
             if codes is not None:
-                c.cfg.forward_primer = codes
+                # set_forward_primer ignores length >= MAX_LEN
+                # (assembler_support.c:203-213)
+                if len(codes) < MAX_LEN:
+                    c.cfg.forward_primer = codes
             else:
                 c.cfg.forward_trim = trim
         elif f == "q":
             trim, codes = _parse_primer(arg, "reverse", complement=True)
             if codes is not None:
-                c.cfg.reverse_primer = codes
+                if len(codes) < MAX_LEN:
+                    c.cfg.reverse_primer = codes
             else:
                 c.cfg.reverse_trim = trim
         elif f == "r":

@@ -345,3 +345,16 @@ def test_kmer_table_misindex_quirk_golden():
         got = run_cli(["-T", "1"] + BASE + extra)
         assert ref.stdout, "reference produced no output"
         assert got.stdout == ref.stdout, k
+
+
+def test_setter_guard_quirks_golden():
+    """The reference args layer accepts -o 1 / -O 900 (and any primer
+    string), but the assembler setters silently ignore values outside
+    their guards (assembler_support.c:276-295: minoverlap needs
+    (1, 900), maxoverlap [0, 900); primers need len < 450) — so those
+    flags leave the defaults in place. Byte-level parity on each."""
+    for extra in (["-o", "1"], ["-O", "900"], ["-o", "1", "-O", "700"]):
+        ref = run_ref(BASE + extra)
+        got = run_cli(["-T", "1"] + BASE + extra)
+        assert ref.stdout, extra
+        assert got.stdout == ref.stdout, extra

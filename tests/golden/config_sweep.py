@@ -29,9 +29,9 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 20):
     if rng.random() < 0.6:
         args += ["-A", rng.choice(ALGOS)]
     if rng.random() < 0.5:
-        args += ["-o", str(rng.choice([1, 2, 5, 10, 35, 60]))]
+        args += ["-o", str(rng.choice([1, 2, 5, 10, 35, 60, 900]))]
     if rng.random() < 0.5:
-        args += ["-O", str(rng.choice([0, 40, 80, 150, 300, 700]))]
+        args += ["-O", str(rng.choice([0, 40, 80, 150, 300, 700, 899, 900]))]
     if rng.random() < 0.4:
         args += ["-k", str(rng.choice([0, 2, 3, 5, 8]))]  # 1: ref UB
     if rng.random() < 0.3:

@@ -14,10 +14,13 @@ import os, random, subprocess, sys
 ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 REF = os.path.join(ROOT, "tests/ref_build/pandaseq-ref")
-F1 = os.path.join(ROOT, "tests/data/synth_1.fastq")
-F2 = os.path.join(ROOT, "tests/data/synth_2.fastq")
-P1 = os.path.join(ROOT, "tests/data/primer_1.fastq")
-P2 = os.path.join(ROOT, "tests/data/primer_2.fastq")
+# optional argv[3]: plain-data prefix, argv[4]: primer-data prefix
+_plain = sys.argv[3] if len(sys.argv) > 3 else "tests/data/synth"
+_primed = sys.argv[4] if len(sys.argv) > 4 else "tests/data/primer"
+F1 = os.path.join(ROOT, _plain + "_1.fastq")
+F2 = os.path.join(ROOT, _plain + "_2.fastq")
+P1 = os.path.join(ROOT, _primed + "_1.fastq")
+P2 = os.path.join(ROOT, _primed + "_2.fastq")
 FWD, REV = "GTGCCAGCMGCCGCGGTAA", "GGACTACHVGGGTWTCTAAT"
 rng = random.Random(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
 ALGOS = ["simple_bayesian", "pear", "rdp_mle", "uparse", "ea_util",

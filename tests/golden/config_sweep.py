@@ -38,7 +38,10 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 20):
     if rng.random() < 0.4:
         args += ["-k", str(rng.choice([0, 2, 3, 5, 8]))]  # 1: ref UB
     if rng.random() < 0.3:
-        args += ["-t", str(rng.choice([0.2, 0.45, 0.6, 0.8, 0.9]))]
+        args += ["-t", str(rng.choice([0.05, 0.2, 0.45, 0.6, 0.8, 0.9,
+                                       0.99]))]
+    if rng.random() < 0.2:
+        args += ["-B"]
     if rng.random() < 0.3:
         args += ["-l", str(rng.choice([5, 50, 150]))]
     if rng.random() < 0.3:

@@ -502,17 +502,31 @@ class BatchAssembler:
         prerej = np.zeros(B, dtype=bool)
         pre_mods = [m for m in self.modules if m.precheck is not None]
         if pre_mods:
-            for b in range(B):
-                if badread[b]:
-                    continue
-                p_ = batch.pairs[b]
-                for mod in pre_mods:
-                    if not mod.precheck(p_.sid, p_.fwd_nt, p_.fwd_q,
-                                        p_.flen, p_.rev_nt, p_.rev_q,
-                                        p_.rlen):
-                        mod.rejected += 1
-                        prerej[b] = True
-                        break
+            # module-major with an alive mask == the reference's
+            # pair-major first-failure short-circuit (module.c:124-154):
+            # module m sees pair b iff every earlier module passed it,
+            # and stateful gates (after/before, scalar-only) still see
+            # surviving pairs in stream order
+            alive = ~badread
+            for mod in pre_mods:
+                if not alive.any():
+                    break
+                verdict = None
+                if mod.precheck_batch is not None:
+                    verdict = mod.precheck_batch(batch, alive)
+                if verdict is not None:
+                    rej = alive & ~np.asarray(verdict, dtype=bool)
+                else:
+                    rej = np.zeros(B, dtype=bool)
+                    for b in np.flatnonzero(alive):
+                        p_ = batch.pairs[b]
+                        if not mod.precheck(p_.sid, p_.fwd_nt, p_.fwd_q,
+                                            p_.flen, p_.rev_nt, p_.rev_q,
+                                            p_.rlen):
+                            rej[b] = True
+                mod.rejected += int(rej.sum())
+                alive &= ~rej
+            prerej = ~badread & ~alive
         # post-primer mode aligns with zero offsets (assembler.c:285-288)
         init_fo = 0 if cfg.post_primers else cfg.forward_trim
         init_ro = 0 if cfg.post_primers else cfg.reverse_trim

@@ -36,10 +36,18 @@ class Module:
     """A loaded filter module (pandaseq-module.h)."""
 
     def __init__(self, name: str, precheck=None, check=None, destroy=None,
-                 args: str | None = None, api: int = 3, check_batch=None):
+                 args: str | None = None, api: int = 3, check_batch=None,
+                 precheck_batch=None):
         self.name = name
         self.precheck = precheck  # (sid, fwd_nt, fwd_q, flen, rev_nt,
         #                            rev_q, rlen) -> bool
+        # optional vectorized precheck: (Batch, alive_mask) -> bool[B]
+        # pass-verdicts (or None to fall back to the scalar precheck for
+        # this batch). Must be side-effect free per row: verdicts for
+        # rows outside alive_mask are ignored, and rows may be computed
+        # speculatively. Stateful stream gates (after/before) must NOT
+        # define this.
+        self.precheck_batch = precheck_batch
         self.check = check  # (result) -> bool
         # optional vectorized form: (ResultBatchView, sel_mask) ->
         # bool[B]; semantically identical to mapping ``check`` over the
@@ -177,13 +185,22 @@ def _open_validtag(args, logger):
                              % (len(t), taglen, t))
             raise ModuleError("validtag")
 
+    tagset = set(tags)
+
     def precheck(sid, *_):
         tag = getattr(sid, "tag", None)
         if not tag:
             return False
-        return any(tag[:taglen] == t for t in tags)
+        return tag[:taglen] in tagset
 
-    return Module("validtag", precheck=precheck, args=args)
+    def precheck_batch(batch, alive):
+        return np.fromiter(
+            ((getattr(p.sid, "tag", None) or "")[:taglen] in tagset
+             and bool(getattr(p.sid, "tag", None))
+             for p in batch.pairs), dtype=bool, count=len(batch.pairs))
+
+    return Module("validtag", precheck=precheck, args=args,
+                  precheck_batch=precheck_batch)
 
 
 def _open_filter(args, logger):
@@ -216,7 +233,12 @@ def _open_filter(args, logger):
     def precheck(sid, *_):
         return str(sid) in idset
 
-    return Module("filter", precheck=precheck, args=args)
+    def precheck_batch(batch, alive):
+        return np.fromiter((str(p.sid) in idset for p in batch.pairs),
+                           dtype=bool, count=len(batch.pairs))
+
+    return Module("filter", precheck=precheck, args=args,
+                  precheck_batch=precheck_batch)
 
 
 def _open_after(args, logger):
@@ -289,7 +311,20 @@ def _open_other_primer(args, logger):
         return oracle.compute_offset_qual(thr, 0.01, not forward, nt, q,
                                           ln, primer) == 0
 
-    return Module("other_primer", precheck=precheck, args=args)
+    def precheck_batch(batch, alive):
+        # one native batch scan over the reversed frames (the same
+        # kernel the -p/-q primer stage uses); the reverse-read scan is
+        # the back-to-front mode (offset.c:103-112 'reverse')
+        from .io import native
+        nt = batch.fwd_nt if forward else batch.rev_nt
+        q = batch.fwd_q if forward else batch.rev_q
+        lens = batch.flen if forward else batch.rlen
+        off = native.compute_offsets(nt, q, lens, primer, thr, 0.01,
+                                     rev_scan=not forward)
+        return None if off is None else off == 0
+
+    return Module("other_primer", precheck=precheck, args=args,
+                  precheck_batch=precheck_batch)
 
 
 def _open_overlap_stat(args, logger):

@@ -54,7 +54,10 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 20):
              "min_overlapbits",
              "min_overlapbits:%d" % rng.choice([5, 10, 25]),
              "completely_miss_the_point:%d" % rng.choice([0, 2, 6]),
-             "empty", "pear_test", "overlap_stat"],
+             "empty", "pear_test", "overlap_stat",
+             # precheck-stage modules (batched precheck path)
+             "validtag:%s" % rng.choice(["ACGTAC", "TTTTTT:GGGGGG"]),
+             "other_primer:f:ACGTACGT", "other_primer:r:TGCATG"],
             k=rng.choice([1, 1, 2, 3]))
         for m in mods:
             args += ["-C", m]

@@ -64,6 +64,7 @@ def ref_stats(extra_args=()):
     (["-C", "pear_test:cutoff=0.5"], ["pear_test:cutoff=0.5"]),
     (["-C", "sample"], ["sample"]),
     (["-C", "other_primer:f:ACGTACGT"], ["other_primer:f:ACGTACGT"]),
+    (["-C", "other_primer:r:ACGTACGT"], ["other_primer:r:ACGTACGT"]),
 ])
 def test_module_bit_identical(ref_args, specs):
     ref = ref_output(ref_args)

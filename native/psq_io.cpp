@@ -1465,6 +1465,12 @@ long psq_finalize(
     uint8_t *payload, long payload_cap,
     int64_t *counters, int64_t *hist, long hist_cap) {
     // counters layout: [ok, lowq, noalgn, badread, nofp, norp, slow]
+    // the per-pair shortlist staging below uses fixed 32-entry stack
+    // buffers (long oo/mv/mmv[32]); reject a wider shortlist outright
+    // rather than overflow them (BatchAssembler.SL is 8 today and
+    // asserts the same bound on the Python side)
+    if (SL > 32)
+        return -1;
     long plen_out = 0;
     const char NT_A[17] = "NACMGRSVTWYHKDBN";
     static const int POPCNT4[16] = {0, 1, 1, 2, 1, 2, 2, 3,

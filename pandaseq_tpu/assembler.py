@@ -336,6 +336,10 @@ class BatchAssembler:
 
     def __init__(self, cfg: OracleConfig | None = None, L: int = 512,
                  modules=(), need_p: bool | None = None, mesh=None):
+        # native psq_finalize stages shortlists in fixed 32-entry
+        # stack buffers (and rejects SL > 32 itself); fail loudly here
+        # if anyone ever widens the class constant past that bound
+        assert self.SL <= 32, "shortlist width exceeds the native bound"
         self.cfg = cfg or OracleConfig()
         self.L = L
         self.modules = list(modules)

@@ -81,6 +81,57 @@ def test_open_url_file(tmp_path):
     assert open_url(str(q)).read() == b"@r\nACGT\n+\nIIII\n"
 
 
+def test_open_url_http(tmp_path):
+    """The real network path (curl_reader.c:86-143): a local
+    http.server serving plain, gzip and bz2 payloads, each sniffed by
+    magic bytes off the non-seekable response stream."""
+    import bz2
+    import gzip
+    import http.server
+    import threading
+
+    from pandaseq_tpu.io.url import open_url
+
+    body = open(F1, "rb").read()
+    body2 = open(F2, "rb").read()
+    (tmp_path / "p.fastq").write_bytes(body)
+    (tmp_path / "g.fastq.gz").write_bytes(gzip.compress(body))
+    (tmp_path / "b.fastq.bz2").write_bytes(bz2.compress(body2))
+
+    class Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Quiet)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:%d" % srv.server_address[1]
+        for name, want in (("p.fastq", body), ("g.fastq.gz", body),
+                           ("b.fastq.bz2", body2)):
+            with open_url(base + "/" + name) as fh:
+                assert fh.read() == want, name
+        # and end-to-end: the FASTQ reader over the HTTP gz stream
+        from pandaseq_tpu.io import fastq as fq
+        n = 0
+        reader = fq.PairedFastqReader(
+            open_url(base + "/g.fastq.gz"),
+            open_url(base + "/b.fastq.bz2"), policy="PRESENT")
+        try:
+            while n < 32:
+                next(reader)
+                n += 1
+        except (StopIteration, fq.StreamError):
+            pass
+        assert n == 32
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_prefetch_order_and_errors():
     from pandaseq_tpu.io.prefetch import prefetch
 

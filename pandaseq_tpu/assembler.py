@@ -346,8 +346,11 @@ class BatchAssembler:
         self.counters = Counters()
         # optional jax Mesh with a "dp" axis: batches whose size divides
         # the axis are sharded across its devices (XLA partitions the
-        # fused graph; host finalization is unchanged)
+        # fused graph; host finalization is unchanged). A second "op"
+        # axis > 1 additionally shards the overlap-plane ROWS via the
+        # shard_map twins in parallel/shard.py (_dispatch_op).
         self.mesh = mesh
+        self._op_steps = {}
         self.need_p = bool(need_p)
         algo = self.cfg.algorithm
         name = algo.name
@@ -647,6 +650,15 @@ class BatchAssembler:
                 st["cand_faithful"] = True
             else:
                 st["hasN_rows"] = np.flatnonzero(hasN)
+        use_op = False
+        if self.mesh is not None:
+            n_op = self.mesh.shape.get("op", 1)
+            use_op = (n_op > 1 and st["O"] % n_op == 0
+                      and st["B"] % self.mesh.shape.get("dp", 1) == 0)
+        if sparse:
+            pass  # plane already built (pack4 above)
+        elif use_op:
+            plane = None  # _dispatch_op ships the planes separately
         elif lut:
             plane = np.concatenate(
                 [cut(batch.nt_packed()), cut(batch.fwd_q),
@@ -655,7 +667,7 @@ class BatchAssembler:
             # count-based scoring needs no quality arrays on device
             plane = np.ascontiguousarray(cut(batch.nt_packed()))
         inputs = (plane, batch.flen, batch.rlen)
-        if self.mesh is not None:
+        if self.mesh is not None and plane is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             ndp = self.mesh.shape.get("dp", 1)
@@ -669,7 +681,10 @@ class BatchAssembler:
             pmismatch=self._pmismatch)
         fo32 = st["fo"].astype(np.int32)
         ro32 = st["ro"].astype(np.int32)
-        if sparse:
+        if use_op:
+            out = self._dispatch_op(st, batch, cut, sparse, inputs,
+                                    fo32, ro32)
+        elif sparse:
             out = self._fused2.assemble_candidates_packed4(
                 *inputs, L=Lb, O=st["O"], num_kmers=cfg.num_kmers)
         elif lut:
@@ -685,6 +700,39 @@ class BatchAssembler:
         except AttributeError:
             pass
         return out
+
+    def _dispatch_op(self, st, batch, cut, sparse, inputs, fo32, ro32):
+        """Overlap-plane-row ("op")-sharded dispatch: the engine path
+        for a 2-D (dp, op) mesh. The sharded twins (parallel/shard.py)
+        psum exact integer partial diagonal sums, so output is
+        bit-identical to the single-chip kernels (asserted by
+        dryrun_multichip and tests/test_parallel.py)."""
+        from .parallel import shard as _shard
+        cfg = self.cfg
+        Lb, O = st["Lb"], st["O"]
+        key = ("cand4" if sparse else self._algo_kind, Lb, O)
+        step = self._op_steps.get(key)
+        if sparse:
+            if step is None:
+                step = _shard.make_sharded_cand_step_packed4(
+                    self.mesh, L=Lb, O=O, num_kmers=cfg.num_kmers)
+                self._op_steps[key] = step
+            return step(*inputs)
+        if step is None:
+            step = _shard.make_sharded_step(
+                self.mesh, L=Lb, O=O, SL=self.SL,
+                minoverlap=cfg.minoverlap, maxoverlap=cfg.maxoverlap,
+                num_kmers=cfg.num_kmers, algo_kind=self._algo_kind,
+                pmatch=self._pmatch, pmismatch=self._pmismatch,
+                nn_term=self._nn_term, lut_match=self._lut_m,
+                lut_mismatch=self._lut_mm)
+            self._op_steps[key] = step
+        args = _shard.shard_batch(self.mesh, (
+            np.ascontiguousarray(cut(batch.nt_packed())),
+            np.ascontiguousarray(cut(batch.fwd_q)),
+            np.ascontiguousarray(cut(batch.rev_q)),
+            batch.flen, batch.rlen, fo32, ro32))
+        return step(*args)
 
     def _resolve_fallbacks(self, st, plane):
         """Pairs the shortlist cannot decide exactly (n_band > SL) — or

@@ -134,7 +134,8 @@ def _batches_of(fwd, rev, batch, L):
 
 def run_distributed(inputs, cfg=None, out_dir: str = ".",
                     batch: int = 4096, L: int = 512, modules=(),
-                    checkpoint: str | None = None, fastq: bool = False):
+                    checkpoint: str | None = None, fastq: bool = False,
+                    op: int = 1):
     """Assemble a list of (fwd, rev) FASTQ pairs across all hosts.
 
     Returns (counters_vector, histogram) reduced over every host.
@@ -171,8 +172,9 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
         from .shard import make_mesh
         # per-host LOCAL mesh: each host dp-shards its own batches
         # over its own chips only (jax.devices() is global in a
-        # multi-process runtime)
-        mesh = make_mesh(jax.local_device_count(), op=1,
+        # multi-process runtime). op > 1 additionally splits the
+        # overlap-plane rows across chips (engine _dispatch_op).
+        mesh = make_mesh(jax.local_device_count(), op=op,
                          devices=jax.local_devices())
     asm = BatchAssembler(cfg, L=L, modules=list(modules), mesh=mesh)
     fmt = out_mod.format_fastq if fastq else out_mod.format_fasta

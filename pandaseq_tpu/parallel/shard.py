@@ -120,6 +120,49 @@ def _sharded_cand_body(nt_pack, flen, rlen, *, L, O, num_kmers):
     return fused2.pack_bits16(candc != 0, O)
 
 
+def _sharded_cand_body_packed4(plane4, flen, rlen, *, L, O, num_kmers):
+    """Production-upload twin of _sharded_cand_body: the 4-bit packed
+    [fwd2 | rev2] plane (psq_pack4 / assemble_candidates_packed4 —
+    N-containing rows are host-recomputed exactly as single-chip)."""
+    n_op = jax.lax.axis_size("op")
+    op_idx = jax.lax.axis_index("op")
+    assert O % n_op == 0, (O, n_op)
+    Oj = O // n_op
+    j0 = op_idx * Oj
+
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    q = L // 4
+    p32 = plane4.astype(jnp.int32) & 0xFF
+    unpack2 = lambda w: jnp.concatenate(
+        [(w >> (2 * t)) & 3 for t in range(4)], axis=1)
+    cf = unpack2(p32[:, :q])
+    cr = unpack2(p32[:, q:2 * q])
+    nonn = jnp.ones(cf.shape, dtype=bool)
+    Fkm, Rkm = fused2.kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
+                                        L, num_kmers)
+    candc = jax.lax.psum(
+        fused2.plane_cand(Fkm, Rkm, O, j0=j0, Oj=Oj), "op")
+    return fused2.pack_bits16(candc != 0, O)
+
+
+def make_sharded_cand_step_packed4(mesh: Mesh, L: int,
+                                   O: int | None = None,
+                                   num_kmers: int = 2):
+    """Jit the PRODUCTION sparse candidate step (4-bit packed upload)
+    over ``mesh`` — bit-identical to assemble_candidates_packed4; the
+    engine (BatchAssembler._dispatch) uses this when its mesh has an
+    "op" axis wider than 1."""
+    if O is None:
+        O = L
+    body = functools.partial(_sharded_cand_body_packed4, L=L, O=O,
+                             num_kmers=num_kmers)
+    bspec = P("dp")
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(bspec,) * 3,
+                      out_specs=bspec, check_vma=False))
+
+
 def make_sharded_cand_step(mesh: Mesh, L: int, O: int | None = None,
                            num_kmers: int = 2):
     """Jit the sparse LUT candidate step over ``mesh`` (dp batch axis,

@@ -205,3 +205,38 @@ def test_assembler_mesh_option_bit_identical():
                         if c == "OK")
 
     assert run(None) == run(shard.make_mesh(8, op=1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("algo", ["simple_bayesian", "rdp_mle"])
+def test_assembler_op_mesh_bit_identical(algo):
+    """A 2-D (dp, op) mesh through the ENGINE: _dispatch_op routes the
+    sparse candidate / shortlist work through the shard_map twins and
+    output stays byte-identical (sparse path for both algorithm kinds,
+    plus the -k 0 shortlist path below)."""
+    from pandaseq_tpu import oracle
+    from pandaseq_tpu.assembler import BatchAssembler
+    from pandaseq_tpu.io import fastq as fq
+    from pandaseq_tpu.io import output as out_mod
+    from pandaseq_tpu.parallel import shard
+    from tests.test_oracle_golden import F1, F2
+
+    pairs = []
+    reader = fq.read_pairs(F1, F2, policy="PRESENT")
+    for _ in range(64):
+        pairs.append(next(reader))
+
+    def run(mesh, num_kmers=2):
+        cfg = oracle.OracleConfig(
+            algorithm=oracle.make_algorithm(algo), num_kmers=num_kmers)
+        asm = BatchAssembler(cfg, L=512, mesh=mesh)
+        return b"".join(out_mod.format_fasta(r)
+                        for c, r in asm.assemble_batch(pairs)
+                        if c == "OK")
+
+    mesh = shard.make_mesh(8, op=2)
+    base = run(None)
+    assert base == run(mesh)
+    # -k 0 disables k-mer seeding -> the banded-shortlist device path
+    # (_dispatch_op's make_sharded_step branch)
+    assert run(None, num_kmers=0) == run(mesh, num_kmers=0)

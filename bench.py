@@ -157,7 +157,8 @@ def _child_configs(files):
     def reader(f1, f2):
         def batches():
             yield from native.NativeBatchReader(f1, f2, policy="PRESENT",
-                                                batch=BATCH, L=512)
+                                                batch=BATCH, L=512,
+                                                ring=2 * DEPTH + 10)
         return batches
 
     def mk(cfg=None, modules=()):

@@ -51,7 +51,8 @@ def run_config(name, f1, f2, cfg, modules, use_emit):
     from pandaseq_tpu.io.prefetch import prefetch
 
     def batches():
-        yield from native.NativeBatchReader(f1, f2, batch=BATCH, L=512)
+        yield from native.NativeBatchReader(f1, f2, batch=BATCH, L=512,
+                                            ring=2 * DEPTH + 10)
 
     asm = BatchAssembler(cfg, L=512, modules=list(modules))
     # warm

@@ -58,12 +58,14 @@ def main():
     from pandaseq_tpu.assembler import BatchAssembler
     from pandaseq_tpu.io import native
 
-    if not os.path.exists(B1):
+    n_want = BATCH * 12
+    if not (os.path.exists(B1)
+            and sum(1 for _ in open(B1)) == 4 * n_want):
         import subprocess
         subprocess.run([sys.executable,
                         os.path.join(ROOT, "tests", "golden",
                                      "make_data.py"),
-                        "--pairs", str(BATCH * 12), "--seed", "7",
+                        "--pairs", str(n_want), "--seed", "7",
                         "--out-prefix", os.path.join(DATA, "bench")],
                        check=True, stdout=subprocess.DEVNULL)
     assert native.get_lib() is not None, "stage bench needs the native lib"
@@ -71,7 +73,7 @@ def main():
     def read_all():
         n = 0
         for b in native.NativeBatchReader(B1, B2, policy="PRESENT",
-                                          batch=BATCH, L=512):
+                                          batch=BATCH, L=512, ring=4):
             n += len(b.sids)
         return n
 
@@ -135,7 +137,7 @@ def main():
         a = BatchAssembler(L=512)
         n = 0
         for b in native.NativeBatchReader(B1, B2, policy="PRESENT",
-                                          batch=BATCH, L=512):
+                                          batch=BATCH, L=512, ring=4):
             st = a._pre(b)
             plane, _ = native.pack4(st["batch"], st["Lb"])
             rows = np.arange(st["B"], dtype=np.int64)

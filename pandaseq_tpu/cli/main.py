@@ -399,10 +399,20 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
         from ..io import native
         try:
             if native.get_lib() is not None:
+                # ring: the emit pipeline holds at most depth(6) +
+                # prefetch(4) + pre_stream/finalize/consumer (~4)
+                # batches; 20 persistent sets removes ~21 MB/batch of
+                # first-touch page faults from the decode wall time.
+                # The -d K/R/M oracle-replay path may hold pair views
+                # longer, so it keeps fresh allocations.
+                detail = c.debug_flags & (stats.DEBUG_KMER
+                                          | stats.DEBUG_RECON
+                                          | stats.DEBUG_MISMATCH)
                 native_reader = native.NativeBatchReader(
                     c.fwd_file, c.rev_file, qualmin=c.qualmin,
                     policy=c.policy, batch=c.batch, L=512,
-                    index_path=c.index_file)
+                    index_path=c.index_file,
+                    ring=0 if detail else 20)
         except (OSError, RuntimeError):
             native_reader = None
     if native_reader is None:

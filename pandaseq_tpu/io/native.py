@@ -500,13 +500,23 @@ class NativeBatchReader:
 
     def __init__(self, fwd_path: str, rev_path: str, qualmin: int = 33,
                  policy: str = "PRESENT", batch: int = 1024, L: int = 512,
-                 index_path: str | None = None):
+                 index_path: str | None = None, ring: int = 0):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native decoder unavailable")
         self.lib = lib
         self.batch = batch
         self.L = L
+        # ring > 0: cycle through `ring` persistent buffer sets instead
+        # of fresh allocations (~21 MB/batch of first-touch page faults
+        # shows up INSIDE the decode wall time otherwise). A batch's
+        # planes are then only valid until `ring - 1` further batches
+        # have been pulled — use from pipelines with bounded depth
+        # (emit_stream/assemble_stream windows), not from collectors
+        # that hold batches indefinitely.
+        self._ring_n = ring
+        self._ring = []
+        self._ring_i = 0
         self.error = None
         self.seen_under_64 = False
         self.non_empty = False
@@ -531,14 +541,29 @@ class NativeBatchReader:
         # first n rows (row tails are memset, ids are nul-terminated)
         # and rows >= n are sliced away below, so the 21 MB of eager
         # zeroing would be pure memory traffic
-        fwd_nt = np.empty((B, L), dtype=np.int8)
-        fwd_q = np.empty((B, L), dtype=np.int8)
-        rev_nt = np.empty((B, L), dtype=np.int8)
-        rev_q = np.empty((B, L), dtype=np.int8)
-        flen = np.empty(B, dtype=np.int32)
-        rlen = np.empty(B, dtype=np.int32)
-        ids = np.empty((B, ID_STRIDE), dtype=np.uint8)
-        nt_pack = np.empty((B, L), dtype=np.int8)
+        if self._ring_n:
+            if len(self._ring) < self._ring_n:
+                self._ring.append(tuple(
+                    np.empty(s, dtype=d) for s, d in (
+                        ((B, L), np.int8), ((B, L), np.int8),
+                        ((B, L), np.int8), ((B, L), np.int8),
+                        (B, np.int32), (B, np.int32),
+                        ((B, ID_STRIDE), np.uint8), ((B, L), np.int8))))
+                bufs = self._ring[-1]
+            else:
+                bufs = self._ring[self._ring_i % self._ring_n]
+            self._ring_i += 1
+            (fwd_nt, fwd_q, rev_nt, rev_q, flen, rlen, ids,
+             nt_pack) = bufs
+        else:
+            fwd_nt = np.empty((B, L), dtype=np.int8)
+            fwd_q = np.empty((B, L), dtype=np.int8)
+            rev_nt = np.empty((B, L), dtype=np.int8)
+            rev_q = np.empty((B, L), dtype=np.int8)
+            flen = np.empty(B, dtype=np.int32)
+            rlen = np.empty(B, dtype=np.int32)
+            ids = np.empty((B, ID_STRIDE), dtype=np.uint8)
+            nt_pack = np.empty((B, L), dtype=np.int8)
         err = ctypes.c_int32(0)
         n = self.lib.psq_next_batch(
             self.h, B, L,

@@ -115,7 +115,10 @@ def _batches_of(fwd, rev, batch, L):
         from ..io import native
         if native.get_lib() is None:
             raise RuntimeError
-        yield from native.NativeBatchReader(fwd, rev, batch=batch, L=L)
+        # ring: prefetch(4) + pipeline depth(3) + consumer < 16 batches
+        # in flight; persistent decode buffers (see NativeBatchReader)
+        yield from native.NativeBatchReader(fwd, rev, batch=batch, L=L,
+                                            ring=16)
     except (RuntimeError, OSError):
         from ..io import fastq as fq
         reader = fq.read_pairs(fwd, rev)

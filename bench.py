@@ -47,9 +47,17 @@ WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "18"))
 MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "6"))
 # parent-side limits
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1800"))
-# no-progress watchdog: generous because the first device op after a
-# claim can stall 10-15 min and still complete
-STALL_S = float(os.environ.get("BENCH_STALL_S", "720"))
+# Watchdog budgets. The child heartbeats from a daemon thread every
+# ~10 s, so a stale heartbeat means the whole process is wedged (not
+# just blocked in a long device RPC) — kill fast. Milestone progress is
+# separate: the FIRST device op after a TPU claim can stall 10-16 min
+# and still complete (killing it only makes the next claim worse), so
+# the pre-"initialized" budget is nearly the whole deadline; once
+# windows are flowing, a quiet 7 min means the window loop is stuck.
+BEAT_STALE_S = float(os.environ.get("BENCH_BEAT_STALE_S", "90"))
+FIRST_MILESTONE_S = float(os.environ.get("BENCH_FIRST_MILESTONE_S",
+                                         "1500"))
+PROGRESS_S = float(os.environ.get("BENCH_PROGRESS_S", "420"))
 
 FWD_PRIMER = "GTGCCAGCMGCCGCGGTAA"
 REV_PRIMER = "GGACTACHVGGGTWTCTAAT"
@@ -261,12 +269,28 @@ def tpu_child(out_path):
     state = {"heartbeat": time.time()}
     _write_json(out_path, state)
 
+    # liveness beats from a daemon thread: they keep flowing while the
+    # main thread is blocked in a multi-minute claim-stalled device op
+    # (the RPC releases the GIL), so the parent can tell "alive but
+    # slow" from "wedged"
+    import threading
+
+    def _beatloop():
+        while True:
+            time.sleep(10)
+            state["heartbeat"] = time.time()
+            try:
+                _write_json(out_path, dict(state))
+            except Exception:
+                pass
+    threading.Thread(target=_beatloop, daemon=True).start()
+
     files = _data_files()
     rows = _child_configs(files)
 
     def beat():
         state["heartbeat"] = time.time()
-        _write_json(out_path, state)
+        _write_json(out_path, dict(state))
 
     # --- init + warm-up compile (headline config first: its first
     # dispatch is the claim-stall hazard) ---
@@ -300,6 +324,8 @@ def tpu_child(out_path):
     beat()
 
     # --- device-resident kernel compute (K-slope) ---
+    state["phase"] = "kslope"
+    beat()
     try:
         from pandaseq_tpu.io import native
         plane4, _hasN = native.pack4(st["batch"], st["Lb"])
@@ -314,6 +340,8 @@ def tpu_child(out_path):
 
     # --- warm the remaining configs' compiles ---
     for name, batches, mkasm in rows[1:]:
+        state["phase"] = f"warm:{name}"
+        beat()
         a = mkasm()
         for _ in a.emit_stream(batches(), depth=DEPTH):
             break  # a couple of batches is enough to hit the buckets
@@ -377,24 +405,40 @@ def run_child_attempts():
                                  "--tpu-child", out_path], cwd=ROOT,
                                 stdout=sys.stderr.fileno()
                                 if hasattr(sys.stderr, "fileno") else None)
-        last_data = time.monotonic()
-        last_beat = None
+        start = time.monotonic()
+        last_beat_val, last_beat_t = None, start
+        last_prog_sig, last_prog_t = None, start
         while True:
             rc = proc.poll()
             try:
                 with open(out_path) as fh:
                     data = json.load(fh)
-                if data.get("heartbeat") != last_beat:
-                    last_beat = data.get("heartbeat")
-                    last_data = time.monotonic()
             except Exception:
                 data = {}
+            now = time.monotonic()
+            if data.get("heartbeat") != last_beat_val:
+                last_beat_val, last_beat_t = data.get("heartbeat"), now
+            sig = json.dumps({k: v for k, v in data.items()
+                              if k != "heartbeat"}, sort_keys=True)
+            if sig != last_prog_sig:
+                last_prog_sig, last_prog_t = sig, now
             if rc is not None:
                 break
-            now = time.monotonic()
-            if now - last_data > STALL_S or now > deadline + 120:
-                log(f"attempt {attempt}: no progress for "
-                    f"{now - last_data:.0f}s, killing pid {proc.pid}")
+            kill_why = None
+            if last_beat_val is not None and \
+                    now - last_beat_t > BEAT_STALE_S:
+                kill_why = f"heartbeat stale {now - last_beat_t:.0f}s"
+            elif not data.get("initialized") and \
+                    now - start > FIRST_MILESTONE_S:
+                kill_why = f"no first milestone in {now - start:.0f}s"
+            elif data.get("initialized") and \
+                    now - last_prog_t > PROGRESS_S:
+                kill_why = f"no progress for {now - last_prog_t:.0f}s"
+            elif now > deadline + 120:
+                kill_why = "past deadline"
+            if kill_why:
+                log(f"attempt {attempt}: {kill_why}, killing pid "
+                    f"{proc.pid}")
                 proc.kill()
                 proc.wait()
                 rc = -9

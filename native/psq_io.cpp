@@ -29,6 +29,7 @@
 #include <string>
 #include <vector>
 
+#include <omp.h>
 #include <zlib.h>
 
 // libbz2 prototypes (dev header not installed; ABI of libbz2.so.1)
@@ -83,10 +84,21 @@ struct InitTables {
 struct Stream {
     gzFile gz = nullptr;
     BZFILE *bz = nullptr;
-    char buf[1 << 16];
-    int buf_len = 0, buf_pos = 0;
+    FILE *plain = nullptr;
     bool eof = false;
     std::string line;
+    // Block-scan line reader: chunks are read straight into `ar` and
+    // newline offsets recorded in one memchr pass (lines are
+    // '\0'-terminated in place, CR stripped), instead of copying every
+    // line out of a small buffer. Offsets index `ar`, so refill
+    // reallocation keeps them valid; consumers resolve pointers only
+    // after collection. `release_consumed()` compacts once the caller
+    // no longer holds offsets (start of a batch iteration / next_line).
+    std::vector<char> ar;
+    std::vector<size_t> q;  // offsets of scanned lines, FIFO
+    size_t qh = 0;          // next unconsumed index into q
+    size_t lstart = 0;      // start of the unterminated partial line
+    static const size_t CHUNK = 1 << 18;
 
     bool open(const char *path) {
         FILE *probe = fopen(path, "rb");
@@ -100,11 +112,19 @@ struct Stream {
             bz = BZ2_bzdopen(fileno(f), "rb");
             return bz != nullptr;
         }
-        gz = gzopen(path, "rb");  // zlib handles plain + gzip
-        if (gz) gzbuffer(gz, 1 << 17);
-        return gz != nullptr;
+        if (got >= 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+            gz = gzopen(path, "rb");
+            if (gz) gzbuffer(gz, 1 << 17);
+            return gz != nullptr;
+        }
+        // plain file: read(2) straight into the scan arena — gzread's
+        // transparent mode costs an extra internal buffer + copy
+        plain = fopen(path, "rb");
+        if (plain) setvbuf(plain, nullptr, _IONBF, 0);
+        return plain != nullptr;
     }
     int raw_read(char *dst, int n) {
+        if (plain) return (int) fread(dst, 1, (size_t) n, plain);
         if (gz) return gzread(gz, dst, n);
         if (bz) {
             int r = BZ2_bzread(bz, dst, n);
@@ -112,73 +132,82 @@ struct Stream {
         }
         return 0;
     }
-    // arena variant of next_line: appends the line + '\0' to `arena`
-    // and returns its start offset, or SIZE_MAX at EOF. Same CR-strip
-    // and final-unterminated-line semantics as next_line.
-    size_t next_line_arena(std::vector<char> &arena) {
-        size_t start = arena.size();
-        for (;;) {
-            if (buf_pos >= buf_len) {
-                if (eof) break;
-                buf_len = raw_read(buf, sizeof buf);
-                buf_pos = 0;
-                if (buf_len <= 0) {
-                    eof = true;
-                    break;
-                }
-            }
-            char *nl = (char *) memchr(buf + buf_pos, '\n',
-                                       buf_len - buf_pos);
-            if (nl) {
-                arena.insert(arena.end(), buf + buf_pos, nl);
-                buf_pos = (int) (nl - buf) + 1;
-                if (arena.size() > start && arena.back() == '\r')
-                    arena.pop_back();
-                arena.push_back('\0');
-                return start;
-            }
-            arena.insert(arena.end(), buf + buf_pos, buf + buf_len);
-            buf_pos = buf_len;
-        }
-        if (arena.size() == start) return SIZE_MAX;
-        if (arena.back() == '\r') arena.pop_back();
-        arena.push_back('\0');
-        return start;
+    // drop consumed lines from the front of `ar` — only while the
+    // caller holds no offsets (batch-iteration start / next_line)
+    void release_consumed() {
+        if (qh == 0) return;
+        size_t keep = qh < q.size() ? q[qh] : lstart;
+        size_t tail = ar.size() - keep;
+        if (tail) memmove(ar.data(), ar.data() + keep, tail);
+        ar.resize(tail);
+        q.erase(q.begin(), q.begin() + qh);
+        for (size_t &o : q) o -= keep;
+        qh = 0;
+        lstart -= keep;
     }
 
-    // next line without trailing \n / \r\n; nullptr at EOF
-    const char *next_line() {
-        line.clear();
-        for (;;) {
-            if (buf_pos >= buf_len) {
-                if (eof) break;
-                buf_len = raw_read(buf, sizeof buf);
-                buf_pos = 0;
-                if (buf_len <= 0) {
-                    eof = true;
-                    break;
-                }
+    // read one chunk and scan it for newlines; false if EOF with no
+    // new complete line staged
+    bool refill() {
+        if (eof) return false;
+        size_t old = ar.size();
+        ar.resize(old + CHUNK);
+        int got = raw_read(ar.data() + old, (int) CHUNK);
+        if (got <= 0) {
+            ar.resize(old);
+            eof = true;
+            // unterminated final line (linebuf.c: emitted as-is)
+            if (lstart < ar.size()) {
+                if (ar.back() == '\r') ar.back() = '\0';
+                else ar.push_back('\0');
+                q.push_back(lstart);
+                lstart = ar.size();
+                return true;
             }
-            char *nl = (char *) memchr(buf + buf_pos, '\n',
-                                       buf_len - buf_pos);
-            if (nl) {
-                line.append(buf + buf_pos, nl - (buf + buf_pos));
-                buf_pos = (int) (nl - buf) + 1;
-                if (!line.empty() && line.back() == '\r') line.pop_back();
-                return line.c_str();
-            }
-            line.append(buf + buf_pos, buf_len - buf_pos);
-            buf_pos = buf_len;
+            return false;
         }
-        if (line.empty()) return nullptr;
-        if (!line.empty() && line.back() == '\r') line.pop_back();
+        ar.resize(old + got);
+        char *base = ar.data();
+        size_t pos = old;
+        for (;;) {
+            char *nl = (char *) memchr(base + pos, '\n',
+                                       ar.size() - pos);
+            if (nl == nullptr) break;
+            size_t i = (size_t) (nl - base);
+            if (i > lstart && base[i - 1] == '\r') base[i - 1] = '\0';
+            base[i] = '\0';
+            q.push_back(lstart);
+            lstart = i + 1;
+            pos = i + 1;
+        }
+        return true;
+    }
+
+    // offset of the next line in `ar` ('\0'-terminated, CR stripped),
+    // SIZE_MAX at EOF. Offsets stay valid until release_consumed().
+    size_t next_line_off() {
+        while (qh >= q.size())
+            if (!refill()) return SIZE_MAX;
+        return q[qh++];
+    }
+
+    // next line without trailing \n / \r\n; nullptr at EOF. The
+    // returned pointer is valid until the next call (copied out, same
+    // contract as the linebuf.c scanner).
+    const char *next_line() {
+        release_consumed();
+        size_t off = next_line_off();
+        if (off == SIZE_MAX) return nullptr;
+        line.assign(ar.data() + off);
         return line.c_str();
     }
     void close() {
         if (gz) gzclose(gz);
         if (bz) BZ2_bzclose(bz);
+        if (plain) fclose(plain);
         gz = nullptr;
         bz = nullptr;
+        plain = nullptr;
     }
 };
 
@@ -366,10 +395,9 @@ struct PairReader {
     bool seen_under_64 = false;
     bool non_empty = false;
     int error = 0;  // error codes below
-    // scratch reused across next_batch_parallel calls (a fresh ~10 MB
-    // arena per batch means an mmap/munmap + page-fault cycle each
-    // time)
-    std::vector<char> arena;
+    // scratch reused across next_batch_parallel calls (fresh per-batch
+    // vectors mean an mmap/munmap + page-fault cycle each time); line
+    // text lives in each Stream's block-scanned arena
     std::vector<RecLines> lines;
     std::vector<RecOut> recs;
 
@@ -469,22 +497,27 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                          int8_t *fwd_nt, int8_t *fwd_q, int8_t *rev_nt,
                          int8_t *rev_q, int32_t *flen, int32_t *rlen,
                          char *ids, long id_stride, int8_t *nt_pack) {
+    static const bool prof = getenv("PSQ_DECODE_PROFILE") != nullptr;
+    double p1 = 0, p2 = 0, p3 = 0, t;
     long n = 0;
-    std::vector<char> &arena = r->arena;
     std::vector<RecLines> &lines = r->lines;
     std::vector<RecOut> &recs = r->recs;
     while (n < batch && !r->error) {
         long want = batch - n;
-        arena.clear();
         lines.clear();
-        arena.reserve((size_t) want * (r->has_index ? 1700 : 1200));
+        // prior iteration's offsets are dead: compact the stream arenas
+        r->fwd.release_consumed();
+        r->rev.release_consumed();
+        if (r->has_index) r->idx.release_consumed();
         // ---- phase 1: serial line collection, pulling in the exact
         // order the sequential reader consumes (fwd id, rev id, fwd
         // seq/+/qual, rev seq/+/qual, index quartet) and stopping at
         // the first EOF so leftover lines stay unconsumed for the next
         // call — the post-truncation behavior (clean stop vs BADID on
         // a leftover seq line) must match the one-record-at-a-time
-        // reference reader byte-for-byte.
+        // reference reader byte-for-byte. Offsets index each stream's
+        // own block-scanned arena (no per-line copies).
+        if (prof) t = omp_get_wtime();
         for (long k = 0; k < want; k++) {
             RecLines RL;
             for (int t = 0; t < 4; t++)
@@ -492,7 +525,7 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             bool short_rec = false;
             auto pull = [&](Stream &s, size_t &slot) {
                 if (short_rec) return;
-                slot = s.next_line_arena(arena);
+                slot = s.next_line_off();
                 if (slot == SIZE_MAX) short_rec = true;
             };
             pull(r->fwd, RL.f[0]);
@@ -507,26 +540,36 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
         }
         long nrec = (long) lines.size();
         if (nrec == 0) break;
+        if (prof) { p1 += omp_get_wtime() - t; t = omp_get_wtime(); }
         recs.assign(nrec, RecOut());
-        const char *A = arena.data();
+        // resolved only after collection: refills may realloc
+        const char *FA = r->fwd.ar.data();
+        const char *RA = r->rev.ar.data();
+        const char *XA = r->has_index ? r->idx.ar.data() : nullptr;
         // ---- phase 2: parallel parse + provisional row writes
 #pragma omp parallel for schedule(static) if (nrec > 32)
         for (long k = 0; k < nrec; k++) {
             RecOut &o = recs[k];
             const RecLines &RL = lines[k];
             long row = n + k;
-            auto Lx = [&](size_t off) -> const char * {
-                return off == SIZE_MAX ? nullptr : A + off;
+            auto LF = [&](size_t off) -> const char * {
+                return off == SIZE_MAX ? nullptr : FA + off;
+            };
+            auto LR = [&](size_t off) -> const char * {
+                return off == SIZE_MAX ? nullptr : RA + off;
+            };
+            auto LI = [&](size_t off) -> const char * {
+                return off == SIZE_MAX ? nullptr : XA + off;
             };
             SeqId fid, rid;
             bool fdk, rdk, f17, r17;
-            int fdir = seqid_parse(&fid, Lx(RL.f[0]) + 1, r->policy,
+            int fdir = seqid_parse(&fid, LF(RL.f[0]) + 1, r->policy,
                                    &fdk, &f17);
             if (fdir == 0) {
                 o.status = -ERR_BADID;
                 continue;
             }
-            const char *rid_line = Lx(RL.rv[0]);
+            const char *rid_line = LR(RL.rv[0]);
             if (rid_line == nullptr) {
                 o.status = 2;  // clean EOF mid-record (fastq.c caller)
                 continue;
@@ -543,22 +586,22 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             }
             if (f17) o.seen64 = true;
             int8_t fnt[MAX_LEN], fq[MAX_LEN], rnt[MAX_LEN], rq[MAX_LEN];
-            int fl = parse_seq_lines(Lx(RL.f[1]), Lx(RL.f[2]),
-                                     Lx(RL.f[3]), IUPAC_FWD, fnt, fq,
+            int fl = parse_seq_lines(LF(RL.f[1]), LF(RL.f[2]),
+                                     LF(RL.f[3]), IUPAC_FWD, fnt, fq,
                                      MAX_LEN, r->qualmin, &o.seen64);
             if (fl < 0) {
                 o.status = fl;
                 continue;
             }
-            int rl = parse_seq_lines(Lx(RL.rv[1]), Lx(RL.rv[2]),
-                                     Lx(RL.rv[3]), IUPAC_REV, rnt, rq,
+            int rl = parse_seq_lines(LR(RL.rv[1]), LR(RL.rv[2]),
+                                     LR(RL.rv[3]), IUPAC_REV, rnt, rq,
                                      MAX_LEN, r->qualmin, &o.seen64);
             if (rl < 0) {
                 o.status = rl;
                 continue;
             }
             if (r->has_index) {  // barcode read -> tag (fastq.c:159-188)
-                const char *iline = Lx(RL.ix[0]);
+                const char *iline = LI(RL.ix[0]);
                 if (iline == nullptr) {
                     o.status = 2;
                     continue;
@@ -576,8 +619,8 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                     continue;
                 }
                 int8_t tnt[TAG_LEN], tq[TAG_LEN];
-                int tl = parse_seq_lines(Lx(RL.ix[1]), Lx(RL.ix[2]),
-                                         Lx(RL.ix[3]), IUPAC_FWD, tnt,
+                int tl = parse_seq_lines(LI(RL.ix[1]), LI(RL.ix[2]),
+                                         LI(RL.ix[3]), IUPAC_FWD, tnt,
                                          tq, TAG_LEN - 1, r->qualmin,
                                          &o.seen64);
                 if (tl < 0) {
@@ -635,6 +678,7 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             rlen[row] = rl;
             fid.print(ids + row * id_stride, (int) id_stride);
         }
+        if (prof) { p2 += omp_get_wtime() - t; t = omp_get_wtime(); }
         // ---- phase 3: sequential semantics in record order
         long emitted = 0;
         bool stop = false;
@@ -690,9 +734,13 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             }
             emitted++;
         }
+        if (prof) p3 += omp_get_wtime() - t;
         n += emitted;
         if (stop || nrec < want) break;  // error / EOF reached
     }
+    if (prof && n)
+        fprintf(stderr, "[decode] n=%ld p1=%.2fms p2=%.2fms p3=%.2fms\n",
+                n, p1 * 1e3, p2 * 1e3, p3 * 1e3);
     return n;
 }
 

@@ -963,8 +963,10 @@ class BatchAssembler:
             res = OracleResult()
             res.sid = batch.sids[b]
             res.sequence_ascii = r["ascii"][b, :n]
-            res.sequence_nt = IUPAC_FORWARD[r["ascii"][b, :n] & 0x1F]
-            res.sequence_p = self._ptbl[r["pidx"][b, :n]]
+            # sequence_nt / sequence_p materialize lazily on first
+            # access (OracleResult properties) from these views
+            res._pidx = r["pidx"][b, :n]
+            res._ptbl = self._ptbl
             res.sequence_length = n
             res.quality = float(r["quality"][b])
             res.overlap = int(osc[b, 0])

@@ -396,8 +396,6 @@ def candidate_mask(fwd_nt, flen, rev_nt, rlen, minoverlap, maxoverlap,
 @dataclass
 class OracleResult:
     sid: object = None
-    sequence_nt: np.ndarray = None  # [len] int8
-    sequence_p: np.ndarray = None  # [len] f64 log-probabilities
     sequence_length: int = 0
     quality: float = 0.0
     overlap: int = 0
@@ -411,6 +409,36 @@ class OracleResult:
     forward_length: int = 0  # panda_result_seq.forward_length
     reverse_length: int = 0
     sequence_ascii: np.ndarray = None  # device-encoded ascii (fast path)
+    # lazy backing for sequence_nt / sequence_p: the batched native
+    # path hands out B results per batch and most consumers touch only
+    # a few fields, so the two table gathers are deferred to first use
+    _nt: np.ndarray = field(default=None, repr=False)
+    _p: np.ndarray = field(default=None, repr=False)
+    _pidx: np.ndarray = field(default=None, repr=False)
+    _ptbl: np.ndarray = field(default=None, repr=False)
+
+    @property
+    def sequence_nt(self) -> np.ndarray:  # [len] int8
+        nt_ = self._nt
+        if nt_ is None and self.sequence_ascii is not None:
+            from .nt import IUPAC_FORWARD
+            nt_ = self._nt = IUPAC_FORWARD[self.sequence_ascii & 0x1F]
+        return nt_
+
+    @sequence_nt.setter
+    def sequence_nt(self, v):
+        self._nt = v
+
+    @property
+    def sequence_p(self) -> np.ndarray:  # [len] f64 log-probabilities
+        p = self._p
+        if p is None and self._pidx is not None:
+            p = self._p = self._ptbl[self._pidx]
+        return p
+
+    @sequence_p.setter
+    def sequence_p(self, v):
+        self._p = v
 
 
 @dataclass

@@ -425,6 +425,150 @@ inline int toindex(int v, int qualmin) {  // fastq.c:44
     return (v > qualmin + PHREDMAX ? PHREDMAX : v) - qualmin;
 }
 
+// ---------------------------------------------------------------------
+// SIMD record decode (SSE4.1, runtime-dispatched). Integer-only — no
+// effect on the f64-exactness story. Each helper reproduces the scalar
+// loop's semantics bit-for-bit and falls back to it for tails and
+// rare cases (invalid chars, qualmin+PHREDMAX overflow).
+// ---------------------------------------------------------------------
+#if defined(__x86_64__)
+#include <immintrin.h>
+
+static const bool HAVE_SSE41 = __builtin_cpu_supports("sse4.1");
+
+// 32-entry byte LUT over (c & 0x1F) for 16 chars: entries 0-15 from
+// t0, 16-31 from t1, using pshufb's bit7-zeroing for the select
+__attribute__((target("ssse3")))
+static inline __m128i lut32_lookup(__m128i chars, __m128i t0, __m128i t1) {
+    __m128i idx = _mm_and_si128(chars, _mm_set1_epi8(0x1F));
+    __m128i hi = _mm_and_si128(idx, _mm_set1_epi8(0x10));
+    __m128i sel_lo = _mm_or_si128(idx, _mm_slli_epi16(hi, 3));
+    __m128i sel_hi = _mm_sub_epi8(idx, _mm_set1_epi8(16));
+    return _mm_or_si128(_mm_shuffle_epi8(t0, sel_lo),
+                        _mm_shuffle_epi8(t1, sel_hi));
+}
+
+// nt-decode `len` chars (len <= max_len, all-valid expected); returns
+// false if any char maps to code 0 (caller reruns the scalar loop for
+// the exact first-error semantics)
+__attribute__((target("sse4.1")))
+static bool decode_nt_simd(const char *in, int len, const int8_t *table,
+                           int8_t *out) {
+    __m128i t0 = _mm_loadu_si128((const __m128i *) table);
+    __m128i t1 = _mm_loadu_si128((const __m128i *) (table + 16));
+    __m128i any_zero = _mm_setzero_si128();
+    int j = 0;
+    for (; j + 16 <= len; j += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i *) (in + j));
+        __m128i code = lut32_lookup(v, t0, t1);
+        any_zero = _mm_or_si128(
+            any_zero, _mm_cmpeq_epi8(code, _mm_setzero_si128()));
+        _mm_storeu_si128((__m128i *) (out + j), code);
+    }
+    if (_mm_movemask_epi8(any_zero)) return false;
+    for (; j < len; j++) {
+        int8_t code = table[in[j] & 0x1F];
+        if (code == 0) return false;
+        out[j] = code;
+    }
+    return true;
+}
+
+// quality line: out[j] = toindex((unsigned char) in[j], qualmin) for
+// j < wlen, and seen64 |= (signed char) in[j] < 64 over ALL len chars
+// (fastq.c checks every byte of the line, fastq.c:96-101)
+__attribute__((target("sse4.1")))
+static void decode_q_simd(const char *in, int len, int wlen, int qualmin,
+                          int8_t *out, bool *seen_under_64) {
+    __m128i qm = _mm_set1_epi8((char) qualmin);
+    __m128i cap1 = _mm_set1_epi8((char) (qualmin + PHREDMAX + 1));
+    __m128i pmax = _mm_set1_epi8((char) PHREDMAX);
+    __m128i s64 = _mm_setzero_si128();
+    __m128i c64 = _mm_set1_epi8(64);
+    int j = 0;
+    for (; j + 16 <= wlen; j += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i *) (in + j));
+        s64 = _mm_or_si128(s64, _mm_cmplt_epi8(v, c64));
+        // v > qualmin+PHREDMAX  (unsigned)
+        __m128i over = _mm_cmpeq_epi8(_mm_max_epu8(v, cap1), v);
+        __m128i sel = _mm_blendv_epi8(v, pmax, over);
+        __m128i res = _mm_sub_epi8(sel, qm);
+        // zero where v < qualmin (unsigned)
+        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(v, qm), v);
+        _mm_storeu_si128((__m128i *) (out + j), _mm_and_si128(res, ge));
+    }
+    bool seen = _mm_movemask_epi8(s64) != 0;
+    for (; j < wlen; j++) {
+        if (in[j] < 64) seen = true;
+        out[j] = (int8_t) toindex((unsigned char) in[j], qualmin);
+    }
+    for (; j < len; j++)
+        if (in[j] < 64) seen = true;
+    if (seen) *seen_under_64 = true;
+}
+
+// dst[j] = src[len-1-j] for j in [0, len)
+__attribute__((target("ssse3")))
+static void reverse_bytes_simd(const int8_t *src, int len, int8_t *dst) {
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                     11, 12, 13, 14, 15);
+    int j = 0;
+    for (; j + 16 <= len; j += 16) {
+        __m128i v = _mm_loadu_si128(
+            (const __m128i *) (src + len - 16 - j));
+        _mm_storeu_si128((__m128i *) (dst + j),
+                         _mm_shuffle_epi8(v, rev));
+    }
+    for (; j < len; j++) dst[j] = src[len - 1 - j];
+}
+
+// pp[j] = (fp[j] & 0x0F) | ((rp[j] & 0x0F) << 4)
+__attribute__((target("sse2")))
+static void pack_nibbles_simd(const int8_t *fp, const int8_t *rp, int len,
+                              int8_t *pp) {
+    const __m128i lo = _mm_set1_epi8(0x0F);
+    int j = 0;
+    for (; j + 16 <= len; j += 16) {
+        __m128i f = _mm_and_si128(
+            _mm_loadu_si128((const __m128i *) (fp + j)), lo);
+        __m128i r = _mm_and_si128(
+            _mm_loadu_si128((const __m128i *) (rp + j)), lo);
+        __m128i hi = _mm_and_si128(_mm_slli_epi16(r, 4),
+                                   _mm_set1_epi8((char) 0xF0));
+        _mm_storeu_si128((__m128i *) (pp + j), _mm_or_si128(f, hi));
+    }
+    for (; j < len; j++)
+        pp[j] = (int8_t) ((fp[j] & 0x0F) | ((rp[j] & 0x0F) << 4));
+}
+#else
+static const bool HAVE_SSE41 = false;
+static bool decode_nt_simd(const char *, int, const int8_t *, int8_t *) {
+    return false;
+}
+static void decode_q_simd(const char *, int, int, int, int8_t *, bool *) {}
+static void reverse_bytes_simd(const int8_t *, int, int8_t *) {}
+static void pack_nibbles_simd(const int8_t *, const int8_t *, int,
+                              int8_t *) {}
+#endif
+
+// runtime-dispatched entry points (SIMD bodies require SSSE3+)
+static inline void reverse_bytes(const int8_t *src, int len, int8_t *dst) {
+    if (HAVE_SSE41) {
+        reverse_bytes_simd(src, len, dst);
+        return;
+    }
+    for (int j = 0; j < len; j++) dst[j] = src[len - 1 - j];
+}
+static inline void pack_nibbles(const int8_t *fp, const int8_t *rp,
+                                int len, int8_t *pp) {
+    if (HAVE_SSE41) {
+        pack_nibbles_simd(fp, rp, len, pp);
+        return;
+    }
+    for (int j = 0; j < len; j++)
+        pp[j] = (int8_t) ((fp[j] & 0x0F) | ((rp[j] & 0x0F) << 4));
+}
+
 // read_seq (fastq.c:45-104); returns length or -error
 int read_seq(Stream &s, const int8_t *table, int8_t *nt_buf, int8_t *q_buf,
              int max_len, int qualmin, bool *seen_under_64) {
@@ -453,6 +597,35 @@ int read_seq(Stream &s, const int8_t *table, int8_t *nt_buf, int8_t *q_buf,
     return pos;  // pos == 0 -> NODATA handled by caller
 }
 
+// SIMD twin of parse_seq_lines below; returns PSL_FALLBACK when the
+// scalar loop must run (no SSE4.1, or an invalid seq char whose exact
+// first-error semantics the scalar path owns)
+constexpr int PSL_FALLBACK = INT32_MIN;
+static int parse_seq_lines_fast(const char *seq_line,
+                                const char *plus_line,
+                                const char *qual_line,
+                                const int8_t *table, int8_t *nt_buf,
+                                int8_t *q_buf, int max_len, int qualmin,
+                                bool *seen_under_64) {
+    if (!HAVE_SSE41) return PSL_FALLBACK;
+    if (seq_line == nullptr) return -ERR_EOF;
+    int slen = (int) strlen(seq_line);
+    int pos = slen < max_len ? slen : max_len;
+    if (!decode_nt_simd(seq_line, pos, table, nt_buf))
+        return PSL_FALLBACK;
+    if (plus_line == nullptr) return -ERR_EOF;
+    if (*plus_line != '+')
+        return table[*plus_line & 0x1F] != 0 ? -ERR_READLEN
+                                             : -ERR_BADSEQ;
+    if (qual_line == nullptr) return -ERR_EOF;
+    long qlen = (long) strlen(qual_line);
+    int wlen = qlen < (long) max_len ? (int) qlen : max_len;
+    decode_q_simd(qual_line, (int) qlen, wlen, qualmin, q_buf,
+                  seen_under_64);
+    if (qlen != (long) pos) return -ERR_NOQUAL;
+    return pos;
+}
+
 // read_seq on pre-collected lines (nullptr = stream ended before that
 // line) — bitwise the same state machine, decoding into caller-local
 // natural-order buffers so records can parse in parallel.
@@ -460,6 +633,10 @@ int parse_seq_lines(const char *seq_line, const char *plus_line,
                     const char *qual_line, const int8_t *table,
                     int8_t *nt_buf, int8_t *q_buf, int max_len,
                     int qualmin, bool *seen_under_64) {
+    int fast = parse_seq_lines_fast(seq_line, plus_line, qual_line,
+                                    table, nt_buf, q_buf, max_len,
+                                    qualmin, seen_under_64);
+    if (fast != PSL_FALLBACK) return fast;
     const char *input = seq_line;
     if (input == nullptr) return -ERR_EOF;
     int pos = 0;
@@ -641,10 +818,8 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                 o.status = 1;
                 o.fl = fl;
                 o.rl = rl;
-                int8_t *qd = fwd_q + row * stride;
-                for (int j = 0; j < fl; j++) qd[j] = fq[fl - 1 - j];
-                qd = rev_q + row * stride;
-                for (int j = 0; j < rl; j++) qd[j] = rq[rl - 1 - j];
+                reverse_bytes(fq, fl, fwd_q + row * stride);
+                reverse_bytes(rq, rl, rev_q + row * stride);
                 continue;
             }
             o.status = 0;
@@ -653,25 +828,23 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             // reversed left-aligned rows; quality tails [len, MAX_LEN)
             // are filled from the persistent buffers in phase 3
             int8_t *dst = fwd_nt + row * stride;
-            for (int j = 0; j < fl; j++) dst[j] = fnt[fl - 1 - j];
+            reverse_bytes(fnt, fl, dst);
             memset(dst + fl, 0, stride - fl);
             dst = fwd_q + row * stride;
-            for (int j = 0; j < fl; j++) dst[j] = fq[fl - 1 - j];
+            reverse_bytes(fq, fl, dst);
             memset(dst + MAX_LEN, 0, stride - MAX_LEN);
             dst = rev_nt + row * stride;
-            for (int j = 0; j < rl; j++) dst[j] = rnt[rl - 1 - j];
+            reverse_bytes(rnt, rl, dst);
             memset(dst + rl, 0, stride - rl);
             dst = rev_q + row * stride;
-            for (int j = 0; j < rl; j++) dst[j] = rq[rl - 1 - j];
+            reverse_bytes(rq, rl, dst);
             memset(dst + MAX_LEN, 0, stride - MAX_LEN);
             if (nt_pack != nullptr) {
                 const int8_t *fp = fwd_nt + row * stride;
                 const int8_t *rp = rev_nt + row * stride;
                 int8_t *pp = nt_pack + row * stride;
                 int mx = fl > rl ? fl : rl;
-                for (int j = 0; j < mx; j++)
-                    pp[j] = (int8_t) ((fp[j] & 0x0F)
-                                      | ((rp[j] & 0x0F) << 4));
+                pack_nibbles(fp, rp, mx, pp);
                 memset(pp + mx, 0, stride - mx);
             }
             flen[row] = fl;
@@ -700,23 +873,17 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                 // quality buffers (the serial path's read_seq ran
                 // before the skip, fastq.c:45-104,191) — raw order
                 // from the staged reversed rows; no row emitted
-                const int8_t *qrow = fwd_q + (n + k) * stride;
-                for (int j = 0; j < o.fl; j++)
-                    r->fwd_q[j] = qrow[o.fl - 1 - j];
-                qrow = rev_q + (n + k) * stride;
-                for (int j = 0; j < o.rl; j++)
-                    r->rev_q[j] = qrow[o.rl - 1 - j];
+                reverse_bytes(fwd_q + (n + k) * stride, o.fl, r->fwd_q);
+                reverse_bytes(rev_q + (n + k) * stride, o.rl, r->rev_q);
                 continue;
             }
             long src = n + k, dst_row = n + emitted;
             int8_t *fqrow = fwd_q + src * stride;
             memcpy(fqrow + o.fl, r->fwd_q + o.fl, MAX_LEN - o.fl);
-            for (int j = 0; j < o.fl; j++)
-                r->fwd_q[j] = fqrow[o.fl - 1 - j];
+            reverse_bytes(fqrow, o.fl, r->fwd_q);
             int8_t *rqrow = rev_q + src * stride;
             memcpy(rqrow + o.rl, r->rev_q + o.rl, MAX_LEN - o.rl);
-            for (int j = 0; j < o.rl; j++)
-                r->rev_q[j] = rqrow[o.rl - 1 - j];
+            reverse_bytes(rqrow, o.rl, r->rev_q);
             if (dst_row != src) {  // compact over skipped records
                 memcpy(fwd_nt + dst_row * stride, fwd_nt + src * stride,
                        stride);

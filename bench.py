@@ -406,6 +406,11 @@ def run_child_attempts():
                                 stdout=sys.stderr.fileno()
                                 if hasattr(sys.stderr, "fileno") else None)
         start = time.monotonic()
+        # adaptive first-milestone budget: never let one claim-stalled
+        # attempt eat the whole deadline — a retry needs >=8 min of
+        # runway to claim + warm + sample at least one window
+        first_budget = max(600.0, min(FIRST_MILESTONE_S,
+                                      deadline - start - 480.0))
         last_beat_val, last_beat_t = None, start
         last_prog_sig, last_prog_t = None, start
         while True:
@@ -429,7 +434,7 @@ def run_child_attempts():
                     now - last_beat_t > BEAT_STALE_S:
                 kill_why = f"heartbeat stale {now - last_beat_t:.0f}s"
             elif not data.get("initialized") and \
-                    now - start > FIRST_MILESTONE_S:
+                    now - start > first_budget:
                 kill_why = f"no first milestone in {now - start:.0f}s"
             elif data.get("initialized") and \
                     now - last_prog_t > PROGRESS_S:

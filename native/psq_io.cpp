@@ -1992,12 +1992,16 @@ long psq_finalize(
         // scoring loops (pear/rdp candidates) spread across cores
         long slot = 1 + id_stride + 1 + 32 + 1 + L2cap + 1
             + (fmt == 2 ? L2cap + 3 : 0);
-        uint8_t *scratch = (uint8_t *) malloc((size_t) (B * slot));
-        long *wr = (long *) malloc(sizeof(long) * (size_t) B);
-        if (!scratch || !wr) {
-            free(scratch); free(wr);
-            return -1;
-        }
+        // persistent per-thread scratch: a fresh ~19 MB malloc per
+        // batch is an mmap + page-fault cycle inside the finalize wall
+        // (same lesson as the decode ring buffers)
+        static thread_local std::vector<uint8_t> scratch_tls;
+        static thread_local std::vector<long> wr_tls;
+        if ((long) scratch_tls.size() < B * slot)
+            scratch_tls.resize((size_t) (B * slot));
+        if ((long) wr_tls.size() < B) wr_tls.resize((size_t) B);
+        uint8_t *scratch = scratch_tls.data();
+        long *wr = wr_tls.data();
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -2012,8 +2016,6 @@ long psq_finalize(
                    (size_t) wr[b]);
             plen_out += wr[b];
         }
-        free(scratch);
-        free(wr);
     }
     return plen_out;
 }

@@ -1249,6 +1249,52 @@ double score_from_counts(int algo, double pmatch, double pmismatch,
 // exact integer (match, mismatch) counts for one overlap — the host
 // twin of the device count planes (ops/fused2.py:plane_counts): N on
 // either side excludes the position from both counts (-> unk)
+#if defined(__x86_64__)
+// integer-only SIMD match/N tally: in frame coordinates the loop reads
+// fnt[o-1-i] (descending) against rnt[i] (ascending), so one operand
+// loads reversed. Counts are exact integers — no effect on the f64
+// scoring story.
+__attribute__((target("sse4.1")))
+static void count_pair_simd(const int8_t *fnt, const int8_t *rnt, int o,
+                            int lo, int hi, long &mx_out, long &nn_out) {
+    const __m128i low4 = _mm_set1_epi8(0x0F);
+    const __m128i nnv = _mm_set1_epi8(0x0F);
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                     11, 12, 13, 14, 15);
+    __m128i acc_m = _mm_setzero_si128(), acc_n = _mm_setzero_si128();
+    int i = lo;
+    for (; i + 16 <= hi; i += 16) {
+        __m128i rv = _mm_and_si128(
+            _mm_loadu_si128((const __m128i *) (rnt + i)), low4);
+        __m128i fr = _mm_loadu_si128(
+            (const __m128i *) (fnt + (o - i - 16)));
+        __m128i fv = _mm_and_si128(_mm_shuffle_epi8(fr, rev), low4);
+        __m128i isn = _mm_or_si128(_mm_cmpeq_epi8(fv, nnv),
+                                   _mm_cmpeq_epi8(rv, nnv));
+        __m128i nomatch = _mm_cmpeq_epi8(_mm_and_si128(fv, rv),
+                                         _mm_setzero_si128());
+        __m128i match = _mm_andnot_si128(
+            _mm_or_si128(nomatch, isn), _mm_set1_epi8((char) 0xFF));
+        acc_m = _mm_sub_epi8(acc_m, match);  // 0xFF lane adds 1
+        acc_n = _mm_sub_epi8(acc_n, isn);
+    }
+    __m128i z = _mm_setzero_si128();
+    __m128i sm = _mm_sad_epu8(acc_m, z);
+    __m128i sn = _mm_sad_epu8(acc_n, z);
+    long mx = _mm_extract_epi16(sm, 0) + _mm_extract_epi16(sm, 4);
+    long nn = _mm_extract_epi16(sn, 0) + _mm_extract_epi16(sn, 4);
+    for (; i < hi; i++) {
+        int f = fnt[o - 1 - i] & 0x0F;
+        int r = rnt[i] & 0x0F;
+        int isn = (f == 0x0F) | (r == 0x0F);
+        mx += (((f & r) != 0) & !isn);
+        nn += isn;
+    }
+    mx_out = mx;
+    nn_out = nn;
+}
+#endif
+
 inline void count_pair(const Frames &F, int o, long &m, long &mm) {
     // valid i: findex in [0, flen) and rindex in [0, rlen) reduce to
     // i in [max(0, o-flen), min(o, rlen)); branchless tallies (the
@@ -1256,6 +1302,16 @@ inline void count_pair(const Frames &F, int o, long &m, long &mm) {
     int lo = o - F.flen > 0 ? o - F.flen : 0;
     int hi = o < F.rlen ? o : F.rlen;
     long mx = 0, nn = 0;
+#if defined(__x86_64__)
+    // frame coords: fwd_nt(flen+i-o) == fnt[o-1-i], rev_nt(rlen-i-1)
+    // == rnt[i]; all indices in-bounds by the lo/hi construction
+    if (HAVE_SSE41 && hi - lo >= 16) {
+        count_pair_simd(F.fnt, F.rnt, o, lo, hi, mx, nn);
+        m += mx;
+        mm += (hi > lo ? hi - lo : 0) - mx - nn;
+        return;
+    }
+#endif
     for (int i = lo; i < hi; i++) {
         int f = F.fwd_nt(F.flen + i - o);
         int r = F.rev_nt(F.rlen - i - 1);

@@ -1250,6 +1250,145 @@ double score_from_counts(int algo, double pmatch, double pmismatch,
 // twin of the device count planes (ops/fused2.py:plane_counts): N on
 // either side excludes the position from both counts (-> unk)
 #if defined(__x86_64__)
+// lane masks for monotone thresholds: EDGE_FROM[k] sets lanes [k,16),
+// EDGE_TO[k] sets lanes [0,k)
+static uint8_t EDGE_FROM[17][16], EDGE_TO[17][16];
+static struct InitEdges {
+    InitEdges() {
+        for (int k = 0; k <= 16; k++)
+            for (int j = 0; j < 16; j++) {
+                EDGE_FROM[k][j] = j >= k ? 0xFF : 0;
+                EDGE_TO[k][j] = j < k ? 0xFF : 0;
+            }
+    }
+} init_edges_;
+
+// SIMD body of the overlap-merge reconstruction (assembler.c:180-228)
+// for the hole-free prefix [0, n) of the overlap: computes pidx/asc
+// planes and the integer degen/mismatch tallies 16 lanes at a time.
+// The f64 probability sum is NOT done here — the caller gathers
+// ptbl[pidx[i]] serially in ascending order afterwards, so the
+// summation order (and every rounding step) stays the reference's.
+__attribute__((target("sse4.1")))
+static void overlap_merge_simd(
+    const int8_t *fnt, const int8_t *fq, const int8_t *rnt,
+    const int8_t *rq, long n, long a0 /* fnt/fq idx at i=0, desc */,
+    long c0 /* rnt/rq idx at i=0, asc */, long t1 /* i>=t1: fmask */,
+    long t2 /* i<=t2: rmask */, int16_t *pidx, uint8_t *asc,
+    long &degen, long &ovl_mm, const char *NT_A,
+    const int *POPCNT4_) {
+    const __m128i low4 = _mm_set1_epi8(0x0F);
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                     11, 12, 13, 14, 15);
+    __m128i nta = _mm_loadu_si128((const __m128i *) NT_A);
+    int8_t pc4[16];
+    for (int j = 0; j < 16; j++) pc4[j] = (int8_t) POPCNT4_[j];
+    __m128i pop4 = _mm_loadu_si128((const __m128i *) pc4);
+    __m128i acc_d = _mm_setzero_si128(), acc_mm = _mm_setzero_si128();
+    long i = 0;
+    for (; i + 16 <= n; i += 16) {
+        // forward frame reads descend from a0-i; reverse reads ascend
+        __m128i fload = _mm_loadu_si128(
+            (const __m128i *) (fnt + (a0 - i - 15)));
+        __m128i f = _mm_and_si128(_mm_shuffle_epi8(fload, rev), low4);
+        __m128i fqv = _mm_shuffle_epi8(
+            _mm_loadu_si128((const __m128i *) (fq + (a0 - i - 15))),
+            rev);
+        __m128i r = _mm_and_si128(
+            _mm_loadu_si128((const __m128i *) (rnt + c0 + i)), low4);
+        __m128i rqv = _mm_loadu_si128(
+            (const __m128i *) (rq + c0 + i));
+        __m128i fr = _mm_and_si128(f, r);
+        __m128i ismatch = _mm_xor_si128(
+            _mm_cmpeq_epi8(fr, _mm_setzero_si128()),
+            _mm_set1_epi8((char) 0xFF));
+        long kf = t1 - i;
+        kf = kf < 0 ? 0 : (kf > 16 ? 16 : kf);
+        __m128i fmask = _mm_loadu_si128(
+            (const __m128i *) EDGE_FROM[kf]);
+        long kr = t2 + 1 - i;
+        kr = kr < 0 ? 0 : (kr > 16 ? 16 : kr);
+        __m128i rmask = _mm_loadu_si128((const __m128i *) EDGE_TO[kr]);
+        // cse: 5 both masked, 6 fwd, 7 rev, else match?3:4
+        __m128i cse = _mm_blendv_epi8(_mm_set1_epi8(4),
+                                      _mm_set1_epi8(3), ismatch);
+        cse = _mm_blendv_epi8(cse, _mm_set1_epi8(7), rmask);
+        cse = _mm_blendv_epi8(cse, _mm_set1_epi8(6), fmask);
+        cse = _mm_blendv_epi8(cse, _mm_set1_epi8(5),
+                              _mm_and_si128(fmask, rmask));
+        // nt4: match ? f&r : (fq < rq ? r : f)   (raw-q compare)
+        __m128i pick_r = _mm_cmplt_epi8(fqv, rqv);
+        __m128i nt4 = _mm_blendv_epi8(_mm_blendv_epi8(f, r, pick_r),
+                                      fr, ismatch);
+        // clamp46 on quals (already 0..46 from decode; guard anyway)
+        __m128i c46 = _mm_set1_epi8(46);
+        __m128i fqc = _mm_min_epi8(_mm_max_epi8(fqv,
+                                                _mm_setzero_si128()),
+                                   c46);
+        __m128i rqc = _mm_min_epi8(_mm_max_epi8(rqv,
+                                                _mm_setzero_si128()),
+                                   c46);
+        // pi = cse*2209 + fqc*47 + rqc  (fits int16)
+        __m128i z = _mm_setzero_si128();
+        __m128i cse_lo = _mm_unpacklo_epi8(cse, z);
+        __m128i cse_hi = _mm_unpackhi_epi8(cse, z);
+        __m128i fq_lo = _mm_unpacklo_epi8(fqc, z);
+        __m128i fq_hi = _mm_unpackhi_epi8(fqc, z);
+        __m128i rq_lo = _mm_unpacklo_epi8(rqc, z);
+        __m128i rq_hi = _mm_unpackhi_epi8(rqc, z);
+        __m128i pi_lo = _mm_add_epi16(
+            _mm_add_epi16(
+                _mm_mullo_epi16(cse_lo, _mm_set1_epi16(2209)),
+                _mm_mullo_epi16(fq_lo, _mm_set1_epi16(47))),
+            rq_lo);
+        __m128i pi_hi = _mm_add_epi16(
+            _mm_add_epi16(
+                _mm_mullo_epi16(cse_hi, _mm_set1_epi16(2209)),
+                _mm_mullo_epi16(fq_hi, _mm_set1_epi16(47))),
+            rq_hi);
+        _mm_storeu_si128((__m128i *) (pidx + i), pi_lo);
+        _mm_storeu_si128((__m128i *) (pidx + i + 8), pi_hi);
+        _mm_storeu_si128((__m128i *) (asc + i),
+                         _mm_shuffle_epi8(nta, nt4));
+        // degen: POPCNT4[nt4] != 1 ; mismatches: !ismatch
+        __m128i isdeg = _mm_xor_si128(
+            _mm_cmpeq_epi8(_mm_shuffle_epi8(pop4, nt4),
+                           _mm_set1_epi8(1)),
+            _mm_set1_epi8((char) 0xFF));
+        acc_d = _mm_sub_epi8(acc_d, isdeg);
+        acc_mm = _mm_sub_epi8(
+            acc_mm, _mm_xor_si128(ismatch, _mm_set1_epi8((char) 0xFF)));
+        // 8-bit accumulators saturate after 255 blocks; n <= 2*MAX_LEN
+        // = 900 -> at most 57 blocks, safe
+    }
+    __m128i z = _mm_setzero_si128();
+    __m128i sd = _mm_sad_epu8(acc_d, z);
+    __m128i sm = _mm_sad_epu8(acc_mm, z);
+    degen += _mm_extract_epi16(sd, 0) + _mm_extract_epi16(sd, 4);
+    ovl_mm += _mm_extract_epi16(sm, 0) + _mm_extract_epi16(sm, 4);
+    // scalar tail for the remaining [i, n)
+    for (; i < n; i++) {
+        int f = fnt[a0 - i] & 0x0F;
+        int r = rnt[c0 + i] & 0x0F;
+        bool ismatch = (f & r) != 0;
+        if (!ismatch) ovl_mm++;
+        bool fmask = i >= t1;
+        bool rmask = i <= t2;
+        int fqr = fq[a0 - i], rqr = rq[c0 + i];
+        int fqc = fqr < 0 ? 0 : (fqr > 46 ? 46 : fqr);
+        int rqc = rqr < 0 ? 0 : (rqr > 46 ? 46 : rqr);
+        int cse;
+        if (fmask && rmask) cse = 5;
+        else if (fmask) cse = 6;
+        else if (rmask) cse = 7;
+        else cse = ismatch ? 3 : 4;
+        int nt4 = ismatch ? (f & r) : (fqr < rqr ? r : f);
+        pidx[i] = (int16_t) (cse * 2209 + fqc * 47 + rqc);
+        asc[i] = (uint8_t) NT_A[nt4];
+        if (POPCNT4_[nt4] != 1) degen++;
+    }
+}
+
 // integer-only SIMD match/N tally: in frame coordinates the loop reads
 // fnt[o-1-i] (descending) against rnt[i] (ascending), so one operand
 // loads reversed. Counts are exact integers — no effect on the f64
@@ -1948,8 +2087,36 @@ long psq_finalize(
             k = 0;
             while (ur > 0 && p2[k] == 2) { ur--; k++; }
         }
-        // overlap merge (assembler.c:180-228)
-        for (long i = 0; i < besto + wedge_df + wedge_dr; i++) {
+        // overlap merge (assembler.c:180-228). The hole-free prefix
+        // (holes — out-of-frame indices — only appear at the tail, as
+        // both hole conditions are monotone in i) runs SIMD; the f64
+        // osum is then gathered serially in the same ascending order,
+        // so every rounding step matches the scalar loop. The scalar
+        // loop below finishes from i0 (tail + non-SSE fallback).
+        long ovl_n = besto + wedge_df + wedge_dr;
+        long i0 = 0;
+#if defined(__x86_64__)
+        if (HAVE_SSE41) {
+            long holefree = ovl_n;
+            long fx = (long) F.flen - fo - veez_df;   // i>=fx: fwd OOB
+            long rx = (long) F.rlen + wedge_df;       // i>=rx: rev OOB
+            if (fx < holefree) holefree = fx;
+            if (rx < holefree) holefree = rx;
+            if (holefree >= 16) {
+                overlap_merge_simd(
+                    F.fnt, F.fq, F.rnt, F.rq, holefree,
+                    (long) F.flen - 1 - fo - veez_df, -wedge_df,
+                    (long) uf - fo - veez_df,
+                    (long) F.rlen - 1 + wedge_df - (long) ur,
+                    pidx + veez_df, asc + veez_df, degen, ovl_mm,
+                    NT_A, POPCNT4);
+                for (long i = 0; i < holefree; i++)
+                    osum += ptbl[pidx[veez_df + i]];
+                i0 = holefree;
+            }
+        }
+#endif
+        for (long i = i0; i < ovl_n; i++) {
             long index = veez_df + i;
             long findex = fo + veez_df + i;
             long rindex = F.rlen - i - 1 + wedge_df;

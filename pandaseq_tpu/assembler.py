@@ -936,9 +936,24 @@ class BatchAssembler:
         B = len(codes)
         out = [(None, None)] * B
         batch = st["batch"]
+        # plain-int views: numpy scalar indexing costs ~100 ns/read and
+        # this loop touches ~10 fields per pair
+        codes_l = codes.tolist()
+        osc_l = osc.tolist()
+        qual_l = r["quality"].tolist()
+        best_l = r["best"].tolist()
+        fo_l = st["fo"].tolist()
+        ro_l = st["ro"].tolist()
+        flen_l = st["flen"].tolist()
+        rlen_l = st["rlen"].tolist()
+        ascii_a = r["ascii"]
+        pidx_a = r["pidx"]
+        ptbl = self._ptbl
+        sids = batch.sids
         for b in range(B):
-            cd = codes[b]
-            if osc[b, 5] & 2:
+            cd = codes_l[b]
+            ob = osc_l[b]
+            if ob[5] & 2:
                 c.slow += 1
             if cd == 1:
                 out[b] = ("BADR", None)
@@ -959,26 +974,26 @@ class BatchAssembler:
                 out[b] = ("NOALGN", None)
                 c.noalgn += 1
                 continue
-            n = int(osc[b, 1])
+            n = ob[1]
             res = OracleResult()
-            res.sid = batch.sids[b]
-            res.sequence_ascii = r["ascii"][b, :n]
+            res.sid = sids[b]
+            res.sequence_ascii = ascii_a[b, :n]
             # sequence_nt / sequence_p materialize lazily on first
             # access (OracleResult properties) from these views
-            res._pidx = r["pidx"][b, :n]
-            res._ptbl = self._ptbl
+            res._pidx = pidx_a[b, :n]
+            res._ptbl = ptbl
             res.sequence_length = n
-            res.quality = float(r["quality"][b])
-            res.overlap = int(osc[b, 0])
-            res.overlaps_examined = int(osc[b, 4])
-            res.overlap_mismatches = int(osc[b, 3])
-            res.degenerates = int(osc[b, 2])
-            res.estimated_overlap_probability = float(r["best"][b])
-            res.slow = bool(osc[b, 5] & 2)
-            res.forward_offset = int(st["fo"][b])
-            res.reverse_offset = int(st["ro"][b])
-            res.forward_length = int(st["flen"][b])
-            res.reverse_length = int(st["rlen"][b])
+            res.quality = qual_l[b]
+            res.overlap = ob[0]
+            res.overlaps_examined = ob[4]
+            res.overlap_mismatches = ob[3]
+            res.degenerates = ob[2]
+            res.estimated_overlap_probability = best_l[b]
+            res.slow = bool(ob[5] & 2)
+            res.forward_offset = fo_l[b]
+            res.reverse_offset = ro_l[b]
+            res.forward_length = flen_l[b]
+            res.reverse_length = rlen_l[b]
 
             code = self._post_primers_and_threshold(res)
             if code != "OK":

@@ -393,7 +393,7 @@ def candidate_mask(fwd_nt, flen, rev_nt, rlen, minoverlap, maxoverlap,
 # Alignment + reconstruction (assembler.c:48-250)
 # --------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class OracleResult:
     sid: object = None
     sequence_length: int = 0
@@ -409,6 +409,7 @@ class OracleResult:
     forward_length: int = 0  # panda_result_seq.forward_length
     reverse_length: int = 0
     sequence_ascii: np.ndarray = None  # device-encoded ascii (fast path)
+    sequence: str = None  # ascii string set by api.Assembler.assemble
     # lazy backing for sequence_nt / sequence_p: the batched native
     # path hands out B results per batch and most consumers touch only
     # a few fields, so the two table gathers are deferred to first use

@@ -1389,6 +1389,72 @@ static void overlap_merge_simd(
     }
 }
 
+// SIMD body of the unpaired copy regions (assembler.c:162-173 forward,
+// :231-243 reverse): pidx = pbase + q*qmul, ascii from the 16-entry NT
+// LUT, degen tally. Frame reads either descend from a0 (rev_src, the
+// forward frame) or ascend from a0. The f64 sum is gathered serially
+// by the caller in ascending order, as in the overlap merge.
+__attribute__((target("sse4.1")))
+static void unpaired_copy_simd(
+    const int8_t *nt, const int8_t *q, long n, bool rev_src, long a0,
+    int pbase, int qmul, int16_t *pidx, uint8_t *asc, long &degen,
+    const char *NT_A, const int *POPCNT4_) {
+    const __m128i low4 = _mm_set1_epi8(0x0F);
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                     11, 12, 13, 14, 15);
+    __m128i nta = _mm_loadu_si128((const __m128i *) NT_A);
+    int8_t pc4[16];
+    for (int j = 0; j < 16; j++) pc4[j] = (int8_t) POPCNT4_[j];
+    __m128i pop4 = _mm_loadu_si128((const __m128i *) pc4);
+    __m128i acc_d = _mm_setzero_si128();
+    const __m128i c46 = _mm_set1_epi8(46);
+    long i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m128i bits, qv;
+        if (rev_src) {
+            bits = _mm_shuffle_epi8(
+                _mm_loadu_si128((const __m128i *) (nt + a0 - i - 15)),
+                rev);
+            qv = _mm_shuffle_epi8(
+                _mm_loadu_si128((const __m128i *) (q + a0 - i - 15)),
+                rev);
+        } else {
+            bits = _mm_loadu_si128((const __m128i *) (nt + a0 + i));
+            qv = _mm_loadu_si128((const __m128i *) (q + a0 + i));
+        }
+        bits = _mm_and_si128(bits, low4);
+        __m128i qc = _mm_min_epi8(
+            _mm_max_epi8(qv, _mm_setzero_si128()), c46);
+        __m128i z = _mm_setzero_si128();
+        __m128i q_lo = _mm_unpacklo_epi8(qc, z);
+        __m128i q_hi = _mm_unpackhi_epi8(qc, z);
+        __m128i pb = _mm_set1_epi16((int16_t) pbase);
+        __m128i qm = _mm_set1_epi16((int16_t) qmul);
+        _mm_storeu_si128((__m128i *) (pidx + i),
+                         _mm_add_epi16(pb, _mm_mullo_epi16(q_lo, qm)));
+        _mm_storeu_si128((__m128i *) (pidx + i + 8),
+                         _mm_add_epi16(pb, _mm_mullo_epi16(q_hi, qm)));
+        _mm_storeu_si128((__m128i *) (asc + i),
+                         _mm_shuffle_epi8(nta, bits));
+        __m128i isdeg = _mm_xor_si128(
+            _mm_cmpeq_epi8(_mm_shuffle_epi8(pop4, bits),
+                           _mm_set1_epi8(1)),
+            _mm_set1_epi8((char) 0xFF));
+        acc_d = _mm_sub_epi8(acc_d, isdeg);
+    }
+    __m128i z = _mm_setzero_si128();
+    __m128i sd = _mm_sad_epu8(acc_d, z);
+    degen += _mm_extract_epi16(sd, 0) + _mm_extract_epi16(sd, 4);
+    for (; i < n; i++) {
+        int bits = (rev_src ? nt[a0 - i] : nt[a0 + i]) & 0x0F;
+        int qr = rev_src ? q[a0 - i] : q[a0 + i];
+        int qc = qr < 0 ? 0 : (qr > 46 ? 46 : qr);
+        pidx[i] = (int16_t) (pbase + qc * qmul);
+        asc[i] = (uint8_t) NT_A[bits];
+        if (POPCNT4_[bits] != 1) degen++;
+    }
+}
+
 // integer-only SIMD match/N tally: in frame coordinates the loop reads
 // fnt[o-1-i] (descending) against rnt[i] (ascending), so one operand
 // loads reversed. Counts are exact integers — no effect on the f64
@@ -2067,6 +2133,15 @@ long psq_finalize(
         long degen = 0, ovl_mm = 0;
         double fsum = 0.0, osum = 0.0, rsum = 0.0;
         // unpaired forward copy (assembler.c:162-173)
+#if defined(__x86_64__)
+        if (HAVE_SSE41 && veez_df >= 16) {
+            unpaired_copy_simd(F.fnt, F.fq, veez_df, true,
+                               (long) F.flen - 1 - fo, 2209, 47, pidx,
+                               asc, degen, NT_A, POPCNT4);
+            for (long i = 0; i < veez_df; i++)
+                fsum += ptbl[pidx[i]];
+        } else
+#endif
         for (long i = 0; i < veez_df; i++) {
             long findex = i + fo;
             int fbits = F.fwd_nt((int) findex);
@@ -2151,7 +2226,17 @@ long psq_finalize(
             if (POPCNT4[nt4] != 1) degen++;
         }
         // unpaired reverse copy (assembler.c:231-243)
-        for (long i = 0; i < (dr > 0 ? dr : 0); i++) {
+        long dr_n = dr > 0 ? dr : 0;
+#if defined(__x86_64__)
+        if (HAVE_SSE41 && dr_n >= 16) {
+            unpaired_copy_simd(F.rnt, F.rq, dr_n, false, besto,
+                               2 * 2209, 1, pidx + df + besto,
+                               asc + df + besto, degen, NT_A, POPCNT4);
+            for (long i = 0; i < dr_n; i++)
+                rsum += ptbl[pidx[df + besto + i]];
+        } else
+#endif
+        for (long i = 0; i < dr_n; i++) {
             long index = df + besto + i;
             long rindex = F.rlen - besto - i - 1;
             int rbits = F.rev_nt((int) rindex);

@@ -46,7 +46,7 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "18"))
 MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "6"))
 # parent-side limits
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1800"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
 # Watchdog budgets. The child heartbeats from a daemon thread every
 # ~10 s, so a stale heartbeat means the whole process is wedged (not
 # just blocked in a long device RPC) — kill fast. Milestone progress is

@@ -27,6 +27,7 @@ Counter names mirror the reference STAT block (pool.c:83-104).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -352,6 +353,11 @@ class BatchAssembler:
         self.mesh = mesh
         self._op_steps = {}
         self.need_p = bool(need_p)
+        # host-only candidate search: None = decide lazily at first
+        # dispatch (PANDASEQ_TPU_HOST env override, else auto: skip the
+        # device when jax would run the kernel on CPU XLA — the native
+        # host twin psq_cand_mask is ~40x faster there)
+        self._host_only = None
         algo = self.cfg.algorithm
         name = algo.name
         self._custom = name not in ("simple_bayesian", "uparse", "pear",
@@ -644,6 +650,21 @@ class BatchAssembler:
             # reference's misindexed occupancy check
             # (assembler.c:94-99) drops/overwrites k-mers in a pattern
             # the device's rank-based seeding cannot express
+            if self._host_only is None:
+                env = os.environ.get("PANDASEQ_TPU_HOST")
+                if env is not None:
+                    self._host_only = env not in ("0", "")
+                else:
+                    import jax
+                    self._host_only = (self.mesh is None
+                                       and jax.default_backend() == "cpu")
+            if self._host_only:
+                # no device: every row's candidate mask comes from the
+                # exact native host twin in _finalize (the same fixup
+                # path hasN rows always take)
+                st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
+                st["cand_faithful"] = cfg.num_kmers >= 3
+                return np.zeros((st["B"], st["O"] // 32), dtype=np.int32)
             plane, hasN = _native.pack4(batch, Lb)
             if cfg.num_kmers >= 3:
                 st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)

@@ -22,3 +22,9 @@ try:  # env XLA_FLAGS is defeated when a TPU plugin registered at startup
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
+
+# keep the suite exercising the DEVICE kernel path on CPU XLA: the
+# engine's auto host-only mode (assembler.py) would otherwise route the
+# sparse path through the native host twin. Host-only mode has its own
+# explicit tests (tests/test_host_mode.py sets PANDASEQ_TPU_HOST=1).
+os.environ.setdefault("PANDASEQ_TPU_HOST", "0")

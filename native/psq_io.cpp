@@ -2104,6 +2104,12 @@ long psq_finalize(
                 }
             }
         }
+        // BESTOLP is logged for every align-attempted pair BEFORE the
+        // bestoverlap == -1 / length-check returns (assembler.c:139),
+        // so the scored bit + best overlap (may be -1) are recorded
+        // here, not after the early-outs
+        oscr[0] = (int32_t) besto;
+        oscr[5] |= 1;  // scored (align ran; BESTOLP line due)
         if (besto == -1) {
             codes[b] = CODE_NOALGN;
             if (fmt) bump(counters[2]);
@@ -2117,8 +2123,6 @@ long psq_finalize(
             return 0;
         }
         obest[b] = best;
-        oscr[0] = (int32_t) besto;
-        oscr[5] |= 1;  // scored (align succeeded)
 
         // ---- reconstruction (assembler.c:145-248) ----
         long df = F.flen - fo - besto;

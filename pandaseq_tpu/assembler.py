@@ -992,7 +992,17 @@ class BatchAssembler:
                 c.norp += 1
                 continue
             if cd == 5:
-                out[b] = ("NOALGN", None)
+                res = None
+                if ob[5] & 1:
+                    # align ran: a BESTOLP line (possibly -1) is due,
+                    # mirroring oracle.assemble's NOALGN-with-result
+                    # return (assembler.c:139 precedes the early-outs)
+                    res = OracleResult()
+                    res.sid = sids[b]
+                    res.overlap = ob[0]
+                    res.overlaps_examined = ob[4]
+                    res.slow = bool(ob[5] & 2)
+                out[b] = ("NOALGN", res)
                 c.noalgn += 1
                 continue
             n = ob[1]
@@ -1074,18 +1084,23 @@ class BatchAssembler:
                 int(st["ro"][b]))
             if res is not None and res.slow:
                 c.slow += 1
+            if res is not None:
+                # BESTOLP is due for every align-attempted pair, even
+                # bestoverlap == -1 (assembler.c:139 precedes the early
+                # returns); res.overlap carries -1 in that case
+                scored[b] = True
+                overlaps[b] = res.overlap
             if code != "OK" or res.sequence_length + 1 > 2 * \
                     oracle.MAX_LEN:
-                out[b] = ("NOALGN", None)
+                out[b] = ("NOALGN", res)
                 c.noalgn += 1
                 continue
+
             res.sid = batch.sids[b]
             res.forward_offset = int(st["fo"][b])
             res.reverse_offset = int(st["ro"][b])
             res.forward_length = int(st["flen"][b])
             res.reverse_length = int(st["rlen"][b])
-            scored[b] = True
-            overlaps[b] = res.overlap
             if emit is not None:
                 if res.quality < cfg.threshold:
                     c.lowq += 1

@@ -500,6 +500,10 @@ def align(cfg: OracleConfig, fwd_nt, fwd_q, flen, rev_nt, rev_q, rlen,
     res.slow = res.overlaps_examined == maxoverlap - cfg.minoverlap + 1
     if dbg is not None:  # assembler.c:139
         dbg(1, "BESTOLP", "%d" % bestoverlap)
+    # BESTOLP is logged for every aligned-attempted pair, including
+    # bestoverlap == -1 (assembler.c:139 runs before the -1 return);
+    # expose the value so batch BESTOLP emission matches
+    res.overlap = bestoverlap
 
     if bestoverlap == -1:
         return res, "NOALGN"

@@ -28,3 +28,23 @@ except Exception:
 # sparse path through the native host twin. Host-only mode has its own
 # explicit tests (tests/test_host_mode.py sets PANDASEQ_TPU_HOST=1).
 os.environ.setdefault("PANDASEQ_TPU_HOST", "0")
+
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _synth_data():
+    """Regenerate the gitignored synthetic dataset if the workspace was
+    cleaned; several modules read tests/data/synth_*.fastq directly."""
+    f1 = os.path.join(_ROOT, "tests", "data", "synth_1.fastq")
+    if not os.path.exists(f1):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(_ROOT, "tests", "golden", "make_data.py"),
+             "--out-prefix", os.path.join(_ROOT, "tests", "data", "synth")],
+            check=True, cwd=_ROOT)

@@ -81,6 +81,40 @@ struct InitTables {
 // Buffered reader over gz / bz2 / plain with CR-stripping line scanner
 // (linebuf.c:57-89)
 // ---------------------------------------------------------------------
+#if defined(__x86_64__)
+#include <immintrin.h>
+static inline __mmask64 nl_tailmask64(int rem) {  // rem in [1, 64]
+    return ~0ULL >> (64 - rem);
+}
+// newline scan over [pos, end) of a block arena: '\0'-terminate lines
+// in place (CR stripped), push line-start offsets. One 64-byte compare
+// per block instead of one memchr call per ~250-byte line.
+__attribute__((target("avx512bw")))
+static void scan_newlines_avx512(char *base, size_t pos, size_t end,
+                                 std::vector<size_t> &q, size_t &lstart) {
+    const __m512i nl = _mm512_set1_epi8('\n');
+    for (size_t j = pos; j < end; j += 64) {
+        int rem = end - j >= 64 ? 64 : (int) (end - j);
+        __mmask64 m = rem == 64 ? ~0ULL : nl_tailmask64(rem);
+        __mmask64 hits = _mm512_mask_cmpeq_epi8_mask(
+            m, _mm512_maskz_loadu_epi8(m, base + j), nl);
+        while (hits) {
+            size_t i = j + (size_t) __builtin_ctzll(hits);
+            hits &= hits - 1;
+            if (i > lstart && base[i - 1] == '\r') base[i - 1] = '\0';
+            base[i] = '\0';
+            q.push_back(lstart);
+            lstart = i + 1;
+        }
+    }
+}
+static const bool NL_HAVE_AVX512 = __builtin_cpu_supports("avx512bw");
+#else
+static void scan_newlines_avx512(char *, size_t, size_t,
+                                 std::vector<size_t> &, size_t &) {}
+static const bool NL_HAVE_AVX512 = false;
+#endif
+
 struct Stream {
     gzFile gz = nullptr;
     BZFILE *bz = nullptr;
@@ -168,6 +202,10 @@ struct Stream {
         }
         ar.resize(old + got);
         char *base = ar.data();
+        if (NL_HAVE_AVX512) {
+            scan_newlines_avx512(base, old, ar.size(), q, lstart);
+            return true;
+        }
         size_t pos = old;
         for (;;) {
             char *nl = (char *) memchr(base + pos, '\n',
@@ -231,8 +269,43 @@ struct SeqId {
                !strcmp(flowcell, o.flowcell) && !strcmp(tag, o.tag);
     }
     int print(char *dst, int cap) const {  // panda_seqid_xprint format
-        return snprintf(dst, cap, "%s:%s:%s:%d:%d:%d:%d:%s", instrument,
-                        run, flowcell, lane, tile, x, y, tag);
+        // worst case 3*(FIELD_LEN+1) + 4*11 + TAG_LEN + 7 seps + nul
+        // = 405 bytes; hand-rolled because snprintf costs ~0.5 us and
+        // runs once per record in the phase-2 hot loop
+        if (cap < 3 * (FIELD_LEN + 2) + 4 * 12 + TAG_LEN + 8)
+            return snprintf(dst, cap, "%s:%s:%s:%d:%d:%d:%d:%s",
+                            instrument, run, flowcell, lane, tile, x, y,
+                            tag);
+        char *p = dst;
+        auto put_s = [&p](const char *s) {
+            while (*s) *p++ = *s++;
+        };
+        auto put_u = [&p](unsigned v) {
+            char tmp[12];
+            int n = 0;
+            do {
+                tmp[n++] = (char) ('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (n) *p++ = tmp[--n];
+        };
+        put_s(instrument);
+        *p++ = ':';
+        put_s(run);
+        *p++ = ':';
+        put_s(flowcell);
+        *p++ = ':';
+        put_u((unsigned) lane);
+        *p++ = ':';
+        put_u((unsigned) tile);
+        *p++ = ':';
+        put_u((unsigned) x);
+        *p++ = ':';
+        put_u((unsigned) y);
+        *p++ = ':';
+        put_s(tag);
+        *p = '\0';
+        return (int) (p - dst);
     }
 };
 
@@ -540,8 +613,112 @@ static void pack_nibbles_simd(const int8_t *fp, const int8_t *rp, int len,
     for (; j < len; j++)
         pp[j] = (int8_t) ((fp[j] & 0x0F) | ((rp[j] & 0x0F) << 4));
 }
+// ---- AVX-512 twins (64 bytes/iteration; VBMI vpermb turns the
+// 32-entry LUT into one instruction; masked loads/stores handle tails
+// without scalar epilogues). Same bit-exact semantics as the SSE
+// versions; dispatched at runtime.
+static const bool HAVE_AVX512 = __builtin_cpu_supports("avx512bw") &&
+                                __builtin_cpu_supports("avx512vbmi");
+
+static inline __mmask64 tailmask64(int rem) {  // rem in [1, 64]
+    return ~0ULL >> (64 - rem);
+}
+
+__attribute__((target("avx512bw,avx512vbmi")))
+static bool decode_nt_avx512(const char *in, int len, const int8_t *table,
+                             int8_t *out) {
+    // only indices 0-31 are ever selected (idx = c & 0x1F), so the
+    // upper 32 LUT bytes are a don't-care duplicate
+    const __m512i tbl = _mm512_broadcast_i64x4(
+        _mm256_loadu_si256((const __m256i *) table));
+    const __m512i m1f = _mm512_set1_epi8(0x1F);
+    __mmask64 anyz = 0;
+    for (int j = 0; j < len; j += 64) {
+        __mmask64 m = j + 64 <= len ? ~0ULL : tailmask64(len - j);
+        __m512i v = _mm512_maskz_loadu_epi8(m, in + j);
+        __m512i code = _mm512_permutexvar_epi8(
+            _mm512_and_si512(v, m1f), tbl);
+        anyz |= _mm512_mask_cmpeq_epi8_mask(m, code,
+                                            _mm512_setzero_si512());
+        _mm512_mask_storeu_epi8(out + j, m, code);
+    }
+    return anyz == 0;
+}
+
+__attribute__((target("avx512bw")))
+static void decode_q_avx512(const char *in, int len, int wlen, int qualmin,
+                            int8_t *out, bool *seen_under_64) {
+    const __m512i qm = _mm512_set1_epi8((char) qualmin);
+    const __m512i cap1 = _mm512_set1_epi8((char) (qualmin + PHREDMAX + 1));
+    const __m512i pmax = _mm512_set1_epi8((char) PHREDMAX);
+    const __m512i c64 = _mm512_set1_epi8(64);
+    __mmask64 s64 = 0;
+    for (int j = 0; j < wlen; j += 64) {
+        __mmask64 m = j + 64 <= wlen ? ~0ULL : tailmask64(wlen - j);
+        __m512i v = _mm512_maskz_loadu_epi8(m, in + j);
+        s64 |= _mm512_mask_cmplt_epi8_mask(m, v, c64);
+        // v > qualmin+PHREDMAX (unsigned)
+        __mmask64 over = _mm512_cmpeq_epi8_mask(_mm512_max_epu8(v, cap1),
+                                                v);
+        __m512i res = _mm512_sub_epi8(
+            _mm512_mask_mov_epi8(v, over, pmax), qm);
+        // zero where v < qualmin (unsigned)
+        __mmask64 ge = _mm512_cmpeq_epi8_mask(_mm512_max_epu8(v, qm), v);
+        _mm512_mask_storeu_epi8(out + j, m, _mm512_maskz_mov_epi8(ge, res));
+    }
+    bool seen = s64 != 0;
+    for (int j = wlen; j < len; j++)  // qual line longer than max_len
+        if (in[j] < 64) seen = true;
+    if (seen) *seen_under_64 = true;
+}
+
+__attribute__((target("avx512bw,avx512vbmi")))
+static void reverse_bytes_avx512(const int8_t *src, int len, int8_t *dst) {
+    // iota[i] = i; rev[i] = 63 - i
+    const __m512i iota = _mm512_set_epi8(
+        63, 62, 61, 60, 59, 58, 57, 56, 55, 54, 53, 52, 51, 50, 49, 48,
+        47, 46, 45, 44, 43, 42, 41, 40, 39, 38, 37, 36, 35, 34, 33, 32,
+        31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16,
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    const __m512i rev = _mm512_sub_epi8(_mm512_set1_epi8(63), iota);
+    int j = 0;
+    for (; j + 64 <= len; j += 64) {
+        __m512i v = _mm512_loadu_si512(
+            (const void *) (src + len - 64 - j));
+        _mm512_storeu_si512((void *) (dst + j),
+                            _mm512_permutexvar_epi8(rev, v));
+    }
+    int rem = len - j;
+    if (rem) {
+        // remaining src bytes are [0, rem): masked-load them and
+        // permute with idx[i] = rem-1-i (negative indices wrap but
+        // those lanes are masked out of the store)
+        __mmask64 m = tailmask64(rem);
+        __m512i v = _mm512_maskz_loadu_epi8(m, src);
+        __m512i idx = _mm512_sub_epi8(
+            _mm512_set1_epi8((char) (rem - 1)), iota);
+        _mm512_mask_storeu_epi8(dst + j, m,
+                                _mm512_permutexvar_epi8(idx, v));
+    }
+}
+
+__attribute__((target("avx512bw")))
+static void pack_nibbles_avx512(const int8_t *fp, const int8_t *rp,
+                                int len, int8_t *pp) {
+    const __m512i lo = _mm512_set1_epi8(0x0F);
+    const __m512i hi_m = _mm512_set1_epi8((char) 0xF0);
+    for (int j = 0; j < len; j += 64) {
+        __mmask64 m = j + 64 <= len ? ~0ULL : tailmask64(len - j);
+        __m512i f = _mm512_and_si512(_mm512_maskz_loadu_epi8(m, fp + j),
+                                     lo);
+        __m512i r = _mm512_maskz_loadu_epi8(m, rp + j);
+        __m512i hi = _mm512_and_si512(_mm512_slli_epi16(r, 4), hi_m);
+        _mm512_mask_storeu_epi8(pp + j, m, _mm512_or_si512(f, hi));
+    }
+}
 #else
 static const bool HAVE_SSE41 = false;
+static const bool HAVE_AVX512 = false;
 static bool decode_nt_simd(const char *, int, const int8_t *, int8_t *) {
     return false;
 }
@@ -549,10 +726,21 @@ static void decode_q_simd(const char *, int, int, int, int8_t *, bool *) {}
 static void reverse_bytes_simd(const int8_t *, int, int8_t *) {}
 static void pack_nibbles_simd(const int8_t *, const int8_t *, int,
                               int8_t *) {}
+static bool decode_nt_avx512(const char *, int, const int8_t *, int8_t *) {
+    return false;
+}
+static void decode_q_avx512(const char *, int, int, int, int8_t *, bool *) {}
+static void reverse_bytes_avx512(const int8_t *, int, int8_t *) {}
+static void pack_nibbles_avx512(const int8_t *, const int8_t *, int,
+                                int8_t *) {}
 #endif
 
 // runtime-dispatched entry points (SIMD bodies require SSSE3+)
 static inline void reverse_bytes(const int8_t *src, int len, int8_t *dst) {
+    if (HAVE_AVX512) {
+        reverse_bytes_avx512(src, len, dst);
+        return;
+    }
     if (HAVE_SSE41) {
         reverse_bytes_simd(src, len, dst);
         return;
@@ -561,6 +749,10 @@ static inline void reverse_bytes(const int8_t *src, int len, int8_t *dst) {
 }
 static inline void pack_nibbles(const int8_t *fp, const int8_t *rp,
                                 int len, int8_t *pp) {
+    if (HAVE_AVX512) {
+        pack_nibbles_avx512(fp, rp, len, pp);
+        return;
+    }
     if (HAVE_SSE41) {
         pack_nibbles_simd(fp, rp, len, pp);
         return;
@@ -607,12 +799,13 @@ static int parse_seq_lines_fast(const char *seq_line,
                                 const int8_t *table, int8_t *nt_buf,
                                 int8_t *q_buf, int max_len, int qualmin,
                                 bool *seen_under_64) {
-    if (!HAVE_SSE41) return PSL_FALLBACK;
+    if (!HAVE_SSE41 && !HAVE_AVX512) return PSL_FALLBACK;
     if (seq_line == nullptr) return -ERR_EOF;
     int slen = (int) strlen(seq_line);
     int pos = slen < max_len ? slen : max_len;
-    if (!decode_nt_simd(seq_line, pos, table, nt_buf))
-        return PSL_FALLBACK;
+    bool ok = HAVE_AVX512 ? decode_nt_avx512(seq_line, pos, table, nt_buf)
+                          : decode_nt_simd(seq_line, pos, table, nt_buf);
+    if (!ok) return PSL_FALLBACK;
     if (plus_line == nullptr) return -ERR_EOF;
     if (*plus_line != '+')
         return table[*plus_line & 0x1F] != 0 ? -ERR_READLEN
@@ -620,8 +813,12 @@ static int parse_seq_lines_fast(const char *seq_line,
     if (qual_line == nullptr) return -ERR_EOF;
     long qlen = (long) strlen(qual_line);
     int wlen = qlen < (long) max_len ? (int) qlen : max_len;
-    decode_q_simd(qual_line, (int) qlen, wlen, qualmin, q_buf,
-                  seen_under_64);
+    if (HAVE_AVX512)
+        decode_q_avx512(qual_line, (int) qlen, wlen, qualmin, q_buf,
+                        seen_under_64);
+    else
+        decode_q_simd(qual_line, (int) qlen, wlen, qualmin, q_buf,
+                      seen_under_64);
     if (qlen != (long) pos) return -ERR_NOQUAL;
     return pos;
 }

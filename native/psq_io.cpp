@@ -1895,6 +1895,41 @@ void psq_compute_offsets(const int8_t *nt, const int8_t *q,
 static const int8_t K2[16] = {0, 0, 1, 0, 2, 0, 0, 0,
                               3, 0, 0, 0, 0, 0, 0, 0};
 
+#if defined(__x86_64__)
+// per-row prep for the candidate-mask twin: cf/cr = 2-bit codes of the
+// low nibbles, nf/nr = (nibble != 0x0F) as 0/1 — one vpermb + one
+// compare per 64 positions instead of 4 scalar stores per position
+__attribute__((target("avx512bw,avx512vbmi")))
+static void prep_codes_avx512(const int8_t *fr, const int8_t *rr, int n,
+                              int8_t *cf, int8_t *cr, uint8_t *nf,
+                              uint8_t *nr) {
+    const __m512i k2 = _mm512_broadcast_i32x4(
+        _mm_loadu_si128((const __m128i *) K2));
+    const __m512i mlo = _mm512_set1_epi8(0x0F);
+    const __m512i one = _mm512_set1_epi8(1);
+    for (int p = 0; p < n; p += 64) {
+        __mmask64 m = p + 64 <= n ? ~0ULL : tailmask64(n - p);
+        __m512i f = _mm512_and_si512(_mm512_maskz_loadu_epi8(m, fr + p),
+                                     mlo);
+        __m512i r = _mm512_and_si512(_mm512_maskz_loadu_epi8(m, rr + p),
+                                     mlo);
+        _mm512_mask_storeu_epi8(cf + p, m,
+                                _mm512_permutexvar_epi8(f, k2));
+        _mm512_mask_storeu_epi8(cr + p, m,
+                                _mm512_permutexvar_epi8(r, k2));
+        _mm512_mask_storeu_epi8(
+            nf + p, m, _mm512_maskz_mov_epi8(
+                _mm512_cmpneq_epi8_mask(f, mlo), one));
+        _mm512_mask_storeu_epi8(
+            nr + p, m, _mm512_maskz_mov_epi8(
+                _mm512_cmpneq_epi8_mask(r, mlo), one));
+    }
+}
+#else
+static void prep_codes_avx512(const int8_t *, const int8_t *, int,
+                              int8_t *, int8_t *, uint8_t *, uint8_t *) {}
+#endif
+
 // Exact candidate bitmask for selected rows — the host-side twin of
 // the device k-mer candidate search (ops/fused2.py:kmer_frames_codes +
 // plane_cand; reference semantics assembler.c:91-118, misc.h:32-45).
@@ -1963,12 +1998,17 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
         int FL = flen_a[b], RL = rlen_a[b];
         const int8_t *fr = fr_nt + b * stride;
         const int8_t *rr = rr_nt + b * stride;
-        for (int p = 0; p < stride; p++) {
-            int f = fr[p] & 0x0F, r = rr[p] & 0x0F;
-            cf[p] = K2[f];
-            cr[p] = K2[r];
-            nf[p] = f != 0x0F;  // pads (0) read as non-N
-            nr[p] = r != 0x0F;
+        if (HAVE_AVX512) {
+            prep_codes_avx512(fr, rr, (int) stride, cf.data(), cr.data(),
+                              nf.data(), nr.data());
+        } else {
+            for (int p = 0; p < stride; p++) {
+                int f = fr[p] & 0x0F, r = rr[p] & 0x0F;
+                cf[p] = K2[f];
+                cr[p] = K2[r];
+                nf[p] = f != 0x0F;  // pads (0) read as non-N
+                nr[p] = r != 0x0F;
+            }
         }
         // forward: emit at frame j' when j' <= FL-9 and the 9-window
         // j'..j'+8 is non-N; visit j' DESCENDING (raw ascending) so
@@ -1980,12 +2020,16 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
             for (int p = (jmax + KM < stride ? jmax + KM : stride - 1);
                  p > jmax; p--)
                 run = nf[p] ? run + 1 : 0;
+            // rolling window kv(j) = sum_t cf[j+t] << 2t, maintained
+            // with one shift+or as j descends; seed the t=1..7 terms
+            int kvr = 0;
+            for (int t = KM - 1; t >= 1; t--)
+                kvr = (kvr << 2) | (int) cf[jmax + t];
             for (int j = jmax; j >= 0; j--) {
                 run = nf[j] ? run + 1 : 0;
+                int kv = ((kvr << 2) | (int) cf[j]) & 0xFFFF;
+                kvr = kv;
                 if (run < KM + 1) continue;
-                int kv = 0;
-                for (int t = 0; t < KM; t++)
-                    kv |= (int) cf[j + t] << (2 * t);
                 if (faithful) {
                     // literal store: occupancy judged at (kv<<1)+j2
                     // (the reference's bug), store at kv*num_kmers+j2
@@ -2015,12 +2059,13 @@ void psq_cand_mask(const int8_t *fr_nt, const int8_t *rr_nt,
         // non-N; probe stored forward positions
         int run = 0;
         int ihi = RL < stride ? RL : stride;
+        // rolling kv(i) = sum_t cr[i-t] << 2t as i ascends
+        int kvr2 = 0;
         for (int i = 0; i < ihi; i++) {
             run = nr[i] ? run + 1 : 0;
+            int kv = ((kvr2 << 2) | (int) cr[i]) & 0xFFFF;
+            kvr2 = kv;
             if (i < KM || run < KM + 1) continue;
-            int kv = 0;
-            for (int t = 0; t < KM; t++)
-                kv |= (int) cr[i - t] << (2 * t);
             if (faithful) {
                 for (int s = 0; s < num_kmers; s++) {
                     uint16_t fp = tab[(size_t) kv * num_kmers + s];

@@ -892,10 +892,43 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
         // reference reader byte-for-byte. Offsets index each stream's
         // own block-scanned arena (no per-line copies).
         if (prof) t = omp_get_wtime();
+        lines.reserve((size_t) want);
         for (long k = 0; k < want; k++) {
+            // bulk fast path: whole records already scanned into the
+            // arenas need no per-line calls (and no refill can fire,
+            // so assignment order is free); a 256 KB refill stages
+            // ~1000 lines, so this covers nearly every record
+            size_t af = (r->fwd.q.size() - r->fwd.qh) / 4;
+            size_t av = (r->rev.q.size() - r->rev.qh) / 4;
+            size_t nb = af < av ? af : av;
+            if (r->has_index) {
+                size_t ai = (r->idx.q.size() - r->idx.qh) / 4;
+                if (ai < nb) nb = ai;
+            }
+            if (nb > (size_t) (want - k)) nb = (size_t) (want - k);
+            if (nb > 0) {
+                const size_t *fq_ = r->fwd.q.data() + r->fwd.qh;
+                const size_t *rq_ = r->rev.q.data() + r->rev.qh;
+                const size_t *iq_ = r->has_index
+                    ? r->idx.q.data() + r->idx.qh : nullptr;
+                for (size_t u = 0; u < nb; u++) {
+                    RecLines RL;
+                    for (int t2 = 0; t2 < 4; t2++) {
+                        RL.f[t2] = fq_[4 * u + t2];
+                        RL.rv[t2] = rq_[4 * u + t2];
+                        RL.ix[t2] = iq_ ? iq_[4 * u + t2] : SIZE_MAX;
+                    }
+                    lines.push_back(RL);
+                }
+                r->fwd.qh += 4 * nb;
+                r->rev.qh += 4 * nb;
+                if (r->has_index) r->idx.qh += 4 * nb;
+                k += (long) nb - 1;
+                continue;
+            }
             RecLines RL;
-            for (int t = 0; t < 4; t++)
-                RL.f[t] = RL.rv[t] = RL.ix[t] = SIZE_MAX;
+            for (int t2 = 0; t2 < 4; t2++)
+                RL.f[t2] = RL.rv[t2] = RL.ix[t2] = SIZE_MAX;
             bool short_rec = false;
             auto pull = [&](Stream &s, size_t &slot) {
                 if (short_rec) return;
@@ -905,10 +938,10 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
             pull(r->fwd, RL.f[0]);
             if (RL.f[0] == SIZE_MAX) break;  // clean EOF before record
             pull(r->rev, RL.rv[0]);
-            for (int t = 1; t < 4; t++) pull(r->fwd, RL.f[t]);
-            for (int t = 1; t < 4; t++) pull(r->rev, RL.rv[t]);
+            for (int t2 = 1; t2 < 4; t2++) pull(r->fwd, RL.f[t2]);
+            for (int t2 = 1; t2 < 4; t2++) pull(r->rev, RL.rv[t2]);
             if (r->has_index)
-                for (int t = 0; t < 4; t++) pull(r->idx, RL.ix[t]);
+                for (int t2 = 0; t2 < 4; t2++) pull(r->idx, RL.ix[t2]);
             lines.push_back(RL);
             if (short_rec) break;  // some stream ended mid-record
         }

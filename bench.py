@@ -359,7 +359,11 @@ def tpu_child(out_path):
     end = time.perf_counter() + BUDGET_S
     while windows < MIN_WINDOWS or time.perf_counter() < end:
         windows += 1
-        for name, batches, mkasm in rows:
+        # rotate the order per window: the first config after the gap
+        # eats any window-start cold effects (ring buffers evicted,
+        # tunnel ramp), and the headline value is rows[0]'s best
+        rot = windows % len(rows)
+        for name, batches, mkasm in rows[rot:] + rows[:rot]:
             a = mkasm()
             t1 = time.perf_counter()
             n = 0

@@ -1343,6 +1343,51 @@ void psq_primer_align(const int8_t *nt, const double *p, const double *np_,
     }
 }
 
+// Fixed 6-decimal "%f" for v in [0, 1] (the ";quality" suffix,
+// output.c:85-126): exact round-to-nearest-even of v*10^6 computed in
+// 128-bit integer arithmetic — byte-identical to glibc printf's
+// correctly-rounded conversion for this range, ~10x cheaper than
+// sprintf in the per-record emit loop. Anything outside [0, 1]
+// (never produced by exp(mean log-prob), but kept safe) falls back.
+static inline int fmt_f6(char *dst, double v) {
+    if (!(v >= 0.0) || v > 1.0) return sprintf(dst, "%f", v);
+    uint64_t q;
+    if (v == 0.0) {
+        q = 0;
+    } else {
+        int e;
+        double f = frexp(v, &e);               // v = f * 2^e, f in [.5,1)
+        uint64_t M = (uint64_t) ldexp(f, 53);  // v = M * 2^(e-53)
+        int s = 53 - e - 6;  // v*10^6 = (M * 5^6) >> s  (s >= 46 here)
+        unsigned __int128 num = (unsigned __int128) M * 15625u;
+        if (s >= 128) {
+            q = 0;  // num < 2^78 <= 2^(s-1): rounds to zero
+        } else {
+            unsigned __int128 half = (unsigned __int128) 1 << (s - 1);
+            unsigned __int128 rem =
+                num & ((((unsigned __int128) 1) << s) - 1);
+            q = (uint64_t) (num >> s);
+            if (rem > half || (rem == half && (q & 1))) q++;
+        }
+    }
+    uint32_t fp = (uint32_t) (q % 1000000u);
+    char *w = dst;
+    *w++ = (char) ('0' + (uint32_t) (q / 1000000u));  // 0 or 1
+    *w++ = '.';
+    for (int k = 5; k >= 0; k--) {
+        w[k] = (char) ('0' + fp % 10u);
+        fp /= 10u;
+    }
+    w += 6;
+    *w = '\0';
+    return (int) (w - dst);
+}
+
+// test hook: lets pytest brute-compare fmt_f6 against printf "%f"
+void psq_fmt_f6_test(const double *v, long n, char *out, long stride) {
+    for (long i = 0; i < n; i++) fmt_f6(out + i * stride, v[i]);
+}
+
 // Emit-only pass over arrays produced by psq_finalize(fmt=0): builds
 // the FASTA (fmt 1) / FASTQ (fmt 2) payload for rows with emit_mask
 // set, in batch order (output.c:85-126). Used by the batched module
@@ -1369,7 +1414,7 @@ long psq_emit(const uint8_t *ascii, const int16_t *pidx,
         memcpy(w, sid, sidlen);
         w += sidlen;
         *w++ = ';';
-        w += sprintf((char *) w, "%f", exp(quality[b]));
+        w += fmt_f6((char *) w, exp(quality[b]));
         *w++ = '\n';
         memcpy(w, ascii + b * L2cap, n);
         w += n;
@@ -2554,7 +2599,7 @@ long psq_finalize(
         memcpy(w, sid, sidlen);
         w += sidlen;
         *w++ = ';';
-        w += sprintf((char *) w, "%f", exp(quality));
+        w += fmt_f6((char *) w, exp(quality));
         *w++ = '\n';
         memcpy(w, asc, seq_len);
         w += seq_len;

@@ -147,11 +147,22 @@ def bench_reference(files) -> dict:
 # TPU child
 # ---------------------------------------------------------------------------
 
+_WRITE_LOCK = None
+
+
 def _write_json(path, obj):
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh)
-    os.replace(tmp, path)
+    # the beat daemon and the main thread both write this file; an
+    # unserialized shared tmp name raced (os.replace -> FileNotFound)
+    # and killed a child mid-windows
+    global _WRITE_LOCK
+    if _WRITE_LOCK is None:
+        import threading
+        _WRITE_LOCK = threading.Lock()
+    with _WRITE_LOCK:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, path)
 
 
 def _child_configs(files):
@@ -472,7 +483,12 @@ def run_child_attempts():
                 if v and v > (merged.get("value") or 0):
                     merged["value"] = v
             elif k not in ("heartbeat",):
-                merged.setdefault(k, v)
+                # a completed attempt's scalars (windows, device/kernel
+                # timings) beat leftovers from earlier failed attempts
+                if data.get("done"):
+                    merged[k] = v
+                else:
+                    merged.setdefault(k, v)
         if merged.get("configs"):
             merged["value"] = max(merged["configs"].get("simple_bayes", 0)
                                   or 0, merged.get("value") or 0) or None

@@ -42,7 +42,10 @@ REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
 BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 12)))
-DEPTH = int(os.environ.get("BENCH_DEPTH", "3"))
+# 6 (the CLI's default), not 3: the deeper device pipeline hides more
+# tunnel latency — headline 246.8k vs 233.3k pairs/s in an A/B across
+# adjacent runs, with primers+filters +10%
+DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
 # sampling budget for the TPU child's timed windows: the dev tunnel has
 # multi-minute 2-10x bandwidth brownouts, so passes are spread across
 # the budget and the best per config is the capability sample

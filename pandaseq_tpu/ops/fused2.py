@@ -137,12 +137,28 @@ def kmer_frames_codes(cf, nonn_f, cr, nonn_r, flen, rlen, L, num_kmers):
     else:
         # kmerseen keeps only the first num_kmers occurrences in RAW
         # order (ascending fp = DESCENDING frame j'): rank = count of
-        # same-k-mer emissions at strictly later frame positions
-        eq = (kf[:, :, None] == kf[:, None, :]) & emit_f[:, None, :]
-        later = pos[:, :, None] < pos[:, None, :]
-        rank = jnp.sum((eq & later).astype(jnp.int8), axis=2,
-                       dtype=jnp.int32)
-        stored_f = emit_f & (rank < num_kmers)
+        # same-k-mer emissions at strictly later frame positions.
+        # Sort-based segmented rank: key = kmer<<10 | (L-1-j'), so
+        # within one kmer's run ascending key order IS raw order, and
+        # rank = index - run_start. Two [B, L] sorts replace the old
+        # [B, L, L] pairwise plane (whose HBM materialization, not the
+        # candidate matmul, dominated the kernel).
+        assert L <= 1024
+        big = jnp.int32(1) << 27  # > any (kmer << 10 | pos) key
+        key = jnp.where(emit_f, (kf << 10) | (L - 1 - pos), big + pos)
+        posb = jnp.broadcast_to(pos, key.shape).astype(jnp.int32)
+        sk, sp = jax.lax.sort((key, posb), dimension=1, num_keys=1)
+        idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        run_start = jnp.concatenate(
+            [jnp.ones(sk[:, :1].shape, bool),
+             (sk[:, 1:] >> 10) != (sk[:, :-1] >> 10)], axis=1)
+        seg_start = jax.lax.cummax(jnp.where(run_start, idx, 0), axis=1)
+        stored_sorted = ((idx - seg_start) < num_kmers) & (sk < big)
+        # invert the permutation: stable sort by original position
+        _, stored_i = jax.lax.sort(
+            (sp, stored_sorted.astype(jnp.int32)), dimension=1,
+            num_keys=1)
+        stored_f = stored_i.astype(bool)
     Fkm = jnp.where(stored_f, kf, -1)
     Rkm = jnp.where(emit_r, kr, -2)
     return Fkm, Rkm

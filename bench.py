@@ -42,10 +42,20 @@ REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
 BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 12)))
-# 6 (the CLI's default), not 3: the deeper device pipeline hides more
-# tunnel latency — headline 246.8k vs 233.3k pairs/s in an A/B across
-# adjacent runs, with primers+filters +10%
-DEPTH = int(os.environ.get("BENCH_DEPTH", "6"))
+# 10 with grouping (was 6): grouped dispatch bursts GROUP batches at a
+# time, so the pipeline needs >= 2*GROUP batches in flight to keep the
+# wire busy between bursts (A/B sweep: depth 10-14 beat 6 with group 4)
+DEPTH = int(os.environ.get("BENCH_DEPTH", "10"))
+# mega-dispatch: stack GROUP decoded batches into one device call —
+# the tunnel charges a fixed ~25-35 ms floor per dispatch (measured
+# serial B=16384: 90.6 ms vs B=65536: 286 ms => floor ~30 ms), so
+# grouping divides it by GROUP while host stages stay batch-granular
+GROUP = int(os.environ.get("BENCH_GROUP", "4"))
+# adaptive brownout abort: a config running > ABORT_X times its
+# best-so-far wall time is a stalled tunnel window — kill the window
+# and do not count it toward MIN_WINDOWS (r03 lost 74.5 s, ~15% of the
+# budget, to one such window)
+ABORT_X = float(os.environ.get("BENCH_ABORT_X", "3.0"))
 # sampling budget for the TPU child's timed windows: the dev tunnel has
 # multi-minute 2-10x bandwidth brownouts, so passes are spread across
 # the budget and the best per config is the capability sample
@@ -109,6 +119,13 @@ CONFIGS = [
     ("pear+pear_test", "plain", ["-A", "pear"]),
     ("rdp_mle", "plain", ["-A", "rdp_mle"]),
     ("uparse", "plain", ["-A", "uparse"]),
+    # dense scoring (-k 0: every overlap examined — the reference's own
+    # SLOW path, assembler.c:42,118,135-137): the accelerator-vs-host
+    # A/B. dense_k0 runs the device shortlist kernel; dense_k0_host
+    # forces the native host scan (O(maxo*L) per pair) on the SAME
+    # stream in the SAME weather window.
+    ("dense_k0", "plain", ["-k", "0"]),
+    ("dense_k0_host", None, None),  # our-side only: no reference run
 ]
 
 
@@ -126,6 +143,8 @@ def bench_reference(files) -> dict:
         return rates
     plain, primed = files
     for name, ds, flags in CONFIGS:
+        if ds is None:
+            continue  # our-side-only A/B row (dense_k0_host)
         f1, f2 = plain if ds == "plain" else primed
         try:
             best = None
@@ -135,7 +154,7 @@ def bench_reference(files) -> dict:
                     subprocess.run([REF_BIN, "-f", f1, "-r", f2, *flags],
                                    stdout=devnull,
                                    stderr=subprocess.DEVNULL, check=False,
-                                   timeout=120)
+                                   timeout=600)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             rates[name] = round(N_PAIRS / best, 1)
@@ -184,13 +203,15 @@ def _child_configs(files):
         def batches():
             yield from native.NativeBatchReader(f1, f2, policy="PRESENT",
                                                 batch=BATCH, L=512,
-                                                ring=2 * DEPTH + 10)
+                                                ring=2 * DEPTH + GROUP
+                                                + 10)
         return batches
 
-    def mk(cfg=None, modules=()):
+    def mk(cfg=None, modules=(), host_only=None):
         def make():
             return BatchAssembler(cfg or oracle.OracleConfig(), L=512,
-                                  modules=list(modules))
+                                  modules=list(modules),
+                                  host_only=host_only)
         return make
 
     cfg2 = oracle.OracleConfig(
@@ -221,6 +242,12 @@ def _child_configs(files):
         ("uparse", reader(*plain),
          mk(oracle.OracleConfig(algorithm=oracle.make_algorithm(
              "uparse")))),
+        # accelerator-vs-host A/B on dense scoring (-k 0): same stream,
+        # same weather window; the host side forces the native
+        # O(maxo*L)-per-pair scan (ALL_BITS_IF_NONE, assembler.c:42)
+        ("dense_k0", reader(*plain), mk(oracle.OracleConfig(num_kmers=0))),
+        ("dense_k0_host", reader(*plain),
+         mk(oracle.OracleConfig(num_kmers=0), host_only=True)),
     ]
     return rows
 
@@ -315,7 +342,8 @@ def tpu_child(out_path):
     name0, batches0, mk0 = rows[0]
     asm = mk0()
     t0 = time.perf_counter()
-    for _ in asm.emit_stream(batches0(), fmt="fasta", depth=DEPTH):
+    for _ in asm.emit_stream(batches0(), fmt="fasta", depth=DEPTH,
+                             group=GROUP):
         pass
     log(f"warm-up ({name0}): {time.perf_counter()-t0:.1f}s")
     state["initialized"] = True
@@ -361,31 +389,50 @@ def tpu_child(out_path):
         state["phase"] = f"warm:{name}"
         beat()
         a = mkasm()
-        for _ in a.emit_stream(batches(), depth=DEPTH):
-            break  # a couple of batches is enough to hit the buckets
+        for _ in a.emit_stream(batches(), depth=DEPTH, group=GROUP):
+            break  # enough batches flow to compile the grouped bucket
         log(f"warmed {name}")
         beat()
 
     # --- timed windows: all configs sampled round-robin in the SAME
-    # weather window; best per config across windows ---
+    # weather window; best per config across windows. A config running
+    # > ABORT_X times its best-so-far wall time means the tunnel is in
+    # a brownout — the window is killed and not counted toward
+    # MIN_WINDOWS (bounded by a total-attempt cap so a permanently
+    # slow backend still terminates). ---
     best = {name: 0.0 for name, _, _ in rows}
     windows = 0
+    windows_ok = 0
     end = time.perf_counter() + BUDGET_S
-    while windows < MIN_WINDOWS or time.perf_counter() < end:
+    while (windows_ok < MIN_WINDOWS or time.perf_counter() < end) \
+            and windows < 6 * MIN_WINDOWS:
         windows += 1
         # rotate the order per window: the first config after the gap
         # eats any window-start cold effects (ring buffers evicted,
         # tunnel ramp), and the headline value is rows[0]'s best
         rot = windows % len(rows)
+        aborted = False
         for name, batches, mkasm in rows[rot:] + rows[:rot]:
             a = mkasm()
+            abort_at = None
+            if ABORT_X > 0 and best[name] > 0:
+                abort_at = ABORT_X * N_PAIRS / best[name] + 3.0
             t1 = time.perf_counter()
             n = 0
             for _, codes, payload in a.emit_stream(
                     prefetch(a.pre_stream(batches()), depth=DEPTH + 2),
-                    depth=DEPTH, threaded=True):
+                    depth=DEPTH, threaded=True, group=GROUP):
                 n += len(codes)
+                if abort_at is not None \
+                        and time.perf_counter() - t1 > abort_at:
+                    aborted = True
+                    break
             dt = time.perf_counter() - t1
+            if aborted:
+                log(f"window {windows} {name}: brownout abort after "
+                    f"{dt:.1f}s ({n} pairs) — window not counted")
+                beat()
+                break
             rate = n / dt
             best[name] = max(best[name], rate)
             log(f"window {windows} {name}: {n} pairs in {dt:.2f}s = "
@@ -395,11 +442,15 @@ def tpu_child(out_path):
             state["value"] = state["configs"].get("simple_bayes")
             state["windows"] = windows
             beat()
+        if not aborted:
+            windows_ok += 1
         if time.perf_counter() < end:
             time.sleep(WINDOW_GAP_S)
+    state["windows_ok"] = windows_ok
     state["done"] = True
     _write_json(out_path, state)
-    log(f"child done: {windows} windows, best {best}")
+    log(f"child done: {windows} windows ({windows_ok} counted), "
+        f"best {best}")
 
 
 # ---------------------------------------------------------------------------
@@ -544,6 +595,11 @@ def main():
            "vs_baseline_configs": vs_cfg or None,
            "windows": merged.get("windows"),
            "error": merged.get("error")}
+    cdense = configs.get("dense_k0")
+    chost = configs.get("dense_k0_host")
+    # the accelerator-vs-host A/B on dense scoring, same stream + window
+    out["accel_vs_host_dense"] = (round(cdense / chost, 3)
+                                  if cdense and chost else None)
     print(json.dumps(out))
 
 

@@ -313,6 +313,41 @@ class ResultBatchView:
         return self._ptbl[self._pidx]
 
 
+class _SharedFetch:
+    """One grouped device result, fetched to host at most once."""
+
+    __slots__ = ("dev", "_host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._host = None
+
+    def fetch(self):
+        if self._host is None:
+            self._host = np.asarray(self.dev)
+            self.dev = None  # release device buffer
+        return self._host
+
+
+class _SliceView:
+    """One batch's rows of a grouped (mega-dispatch) device result.
+    np.asarray triggers a single shared transfer; slicing rows of the
+    contiguous host array is free."""
+
+    __slots__ = ("_shared", "_lo", "_hi")
+
+    def __init__(self, shared, lo, hi):
+        self._shared = shared
+        self._lo = lo
+        self._hi = hi
+
+    def __array__(self, dtype=None, copy=None):
+        out = self._shared.fetch()[self._lo:self._hi]
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        return out
+
+
 @dataclass
 class Counters:
     """The reference's per-assembler STAT counters (pool.c:83-104)."""
@@ -336,7 +371,8 @@ class BatchAssembler:
     SL = 8  # device shortlist width (ops/fused2.py)
 
     def __init__(self, cfg: OracleConfig | None = None, L: int = 512,
-                 modules=(), need_p: bool | None = None, mesh=None):
+                 modules=(), need_p: bool | None = None, mesh=None,
+                 host_only: bool | None = None):
         # native psq_finalize stages shortlists in fixed 32-entry
         # stack buffers (and rejects SL > 32 itself); fail loudly here
         # if anyone ever widens the class constant past that bound
@@ -356,8 +392,10 @@ class BatchAssembler:
         # host-only candidate search: None = decide lazily at first
         # dispatch (PANDASEQ_TPU_HOST env override, else auto: skip the
         # device when jax would run the kernel on CPU XLA — the native
-        # host twin psq_cand_mask is ~40x faster there)
-        self._host_only = None
+        # host twin psq_cand_mask is ~40x faster there). host_only=True
+        # forces it for this instance (the accelerator-vs-host A/B in
+        # bench.py measures both sides in the same weather window).
+        self._host_only = True if host_only else host_only
         algo = self.cfg.algorithm
         name = algo.name
         self._custom = name not in ("simple_bayesian", "uparse", "pear",
@@ -409,7 +447,8 @@ class BatchAssembler:
         dev = self._dispatch(st)
         return self._finalize(st, dev)
 
-    def _threaded_pipeline(self, pair_batches, fin, depth: int):
+    def _threaded_pipeline(self, pair_batches, fin, depth: int,
+                           group: int = 1):
         """Two-stage host pipeline: the main thread runs _pre/_dispatch
         (keeping ``depth`` batches in flight on the device), one FIFO
         worker thread waits for each device->host transfer and runs
@@ -428,10 +467,7 @@ class BatchAssembler:
         futs = deque()
 
         try:
-            for pairs in pair_batches:
-                st = pairs if isinstance(pairs, dict) \
-                    else self._pre(pairs)
-                dev = self._dispatch(st)
+            for st, dev in self._dispatch_stream(pair_batches, group):
                 q.append((st, dev))
                 if len(q) > depth:
                     futs.append(ex.submit(fin, *q.popleft()))
@@ -452,24 +488,25 @@ class BatchAssembler:
             ex.shutdown(wait=True)
 
     def assemble_stream(self, pair_batches, depth: int = 3,
-                        threaded: bool = False):
+                        threaded: bool = False, group: int = 1):
         """Pipelined driver: yields one result list per input batch,
         keeping up to ``depth`` batches in flight on the device before
         finalizing the oldest (the async-reader/pool overlap of the
         reference, async.c/pool.c, as device/host overlap). With
         ``threaded`` the transfer wait and the host finalization run on
-        separate FIFO worker threads."""
+        separate FIFO worker threads. ``group`` stacks that many
+        consecutive batches into one device dispatch (_dispatch_group)
+        to amortize the wire's fixed per-dispatch floor."""
         from collections import deque
         if threaded:
             def fin(st0, plane):
                 return st0["pairs"], self._finalize(st0, plane)
 
-            yield from self._threaded_pipeline(pair_batches, fin, depth)
+            yield from self._threaded_pipeline(pair_batches, fin, depth,
+                                               group)
             return
         q = deque()
-        for pairs in pair_batches:
-            st = pairs if isinstance(pairs, dict) else self._pre(pairs)
-            dev = self._dispatch(st)
+        for st, dev in self._dispatch_stream(pair_batches, group):
             q.append((st, dev))
             if len(q) > depth:
                 st0, dev0 = q.popleft()
@@ -609,84 +646,138 @@ class BatchAssembler:
             nt_r.astype(np.int32) & 0x0F, probs, notp,
             lens.astype(np.int64), primer)
 
+    def _sparse_mode(self):
+        """(sparse, lut): whether the device ships only the k-mer
+        candidate bitmask (sparse path: every built-in algorithm when
+        the native finalize is available), and whether the algorithm
+        scores per-base f64 LUT sums. -k 0 normally keeps the device
+        shortlist (the host scan is O(maxo*L) per pair — the
+        reference's own SLOW path, assembler.c:42,118,135-137), but a
+        host-only run routes it through the sparse machinery too: an
+        all-zero candidate mask IS the exact -k 0 state (no k-mer hits
+        -> ALL_BITS_IF_NONE dense scan in psq_finalize)."""
+        from .io import native as _native
+        lut = self._algo_kind in ("pear", "rdp_mle")
+        have = _native.get_lib() is not None and not self._custom
+        sparse = have and (lut or self.cfg.num_kmers > 0)
+        if have and not sparse and self._resolve_host_only():
+            sparse = True
+        return sparse, lut
+
+    def _resolve_host_only(self) -> bool:
+        if self._host_only is None:
+            env = os.environ.get("PANDASEQ_TPU_HOST")
+            if env is not None:
+                self._host_only = env not in ("0", "")
+            else:
+                import jax
+                self._host_only = (self.mesh is None
+                                   and jax.default_backend() == "cpu")
+        return self._host_only
+
+    def _sparse_plane(self, st):
+        """Host prep for the sparse path: 4-bit packed upload plane
+        (2-bit k-mer codes only, 128 B/pair at Lb=256). The device
+        assumes no Ns; rows flagged hasN get their masks recomputed
+        exactly on host in _finalize (native psq_cand_mask).
+        num_kmers >= 3 routes EVERY row through the host's faithful
+        kmerseen simulation — the reference's misindexed occupancy
+        check (assembler.c:94-99) drops/overwrites k-mers in a pattern
+        the device's rank-based seeding cannot express."""
+        from .io import native as _native
+        plane, hasN = _native.pack4(st["batch"], st["Lb"])
+        if self.cfg.num_kmers >= 3:
+            st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
+            st["cand_faithful"] = True
+        else:
+            st["hasN_rows"] = np.flatnonzero(hasN)
+        return plane
+
+    def _sparse_host(self, st):
+        """Host-only sparse dispatch: no device — every row's candidate
+        mask comes from the exact native host twin in _finalize (the
+        same fixup path hasN rows always take). -k 0 needs no fixup at
+        all: the zero mask is already exact (no candidates ->
+        ALL_BITS_IF_NONE in psq_finalize)."""
+        if self.cfg.num_kmers == 0:
+            st["hasN_rows"] = np.zeros(0, dtype=np.int64)
+        else:
+            st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
+        st["cand_faithful"] = self.cfg.num_kmers >= 3
+        return np.zeros((st["B"], st["O"] // 32), dtype=np.int32)
+
+    def _cut(self, a, Lb):
+        if Lb >= self.L:
+            return a
+        if isinstance(a, np.ndarray):
+            return np.ascontiguousarray(a[:, :Lb])
+        return a[:, :Lb]
+
+    def _dense_plane(self, st, lut):
+        """Upload plane for the non-sparse (device shortlist) paths.
+        ONE byte plane per dispatch: the wire charges a fixed per-array
+        RPC on each non-tiny jit argument, so the LUT algorithms' three
+        byte planes ship concatenated (measured -5 ms/batch vs three
+        arguments); [B] scalars ride the dispatch inline."""
+        batch = st["batch"]
+        Lb = st["Lb"]
+        if lut:
+            return np.concatenate(
+                [self._cut(batch.nt_packed(), Lb),
+                 self._cut(batch.fwd_q, Lb),
+                 self._cut(batch.rev_q, Lb)], axis=1)
+        # count-based scoring needs no quality arrays on device
+        return np.ascontiguousarray(self._cut(batch.nt_packed(), Lb))
+
+    def _launch(self, sparse, lut, plane, flen, rlen, fo32, ro32, Lb, O):
+        """The jit call itself on already-built host arrays."""
+        cfg = self.cfg
+        if sparse:
+            out = self._fused2.assemble_candidates_packed4(
+                plane, flen, rlen, L=Lb, O=O, num_kmers=cfg.num_kmers)
+        else:
+            common = dict(
+                L=Lb, O=O, SL=self.SL, minoverlap=cfg.minoverlap,
+                maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,
+                algo_kind=self._algo_kind, pmatch=self._pmatch,
+                pmismatch=self._pmismatch)
+            if lut:
+                out = self._fused2.assemble_shortlist_packed(
+                    plane, flen, rlen, fo32, ro32, nn_term=self._nn_term,
+                    lut_match=self._lut_m, lut_mismatch=self._lut_mm,
+                    **common)
+            else:
+                out = self._fused2.assemble_shortlist_nt(
+                    plane, flen, rlen, fo32, ro32, **common)
+        try:  # overlap device->host copy with the next batch's compute
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
+
     def _dispatch(self, st):
         """Stage 1: the fused device step (single dispatch;
         ops/fused2.py). Returns async device arrays — do not block."""
         cfg = self.cfg
         batch = st["batch"]
         Lb = st["Lb"]
-        lut = self._algo_kind in ("pear", "rdp_mle")
-        # sparse path (every built-in algorithm): device ships only the
-        # k-mer candidate bitmask; native finalize scores candidates
-        # exactly in f64 (LUT loops for pear/rdp, integer counts for
-        # the rest). Needs the native library (python finalize reads
-        # shortlists). Counts algorithms keep the device shortlist
-        # when -k 0 makes every offset a candidate (the host scan
-        # would be O(maxo * L) per pair); custom algorithms keep it
-        # for the oracle-replay bookkeeping.
-        from .io import native as _native
-        sparse = (_native.get_lib() is not None and not self._custom
-                  and (lut or cfg.num_kmers > 0))
+        sparse, lut = self._sparse_mode()
         st["plane_kind"] = 1 if sparse else 0
-
-        def cut(a):
-            if Lb >= self.L:
-                return a
-            if isinstance(a, np.ndarray):
-                return np.ascontiguousarray(a[:, :Lb])
-            return a[:, :Lb]
-
-        # ONE byte plane per dispatch: the wire charges a fixed
-        # per-array RPC on each non-tiny jit argument, so the LUT
-        # algorithms' three byte planes ship concatenated (measured
-        # -5 ms/batch vs three arguments); [B] scalars ride the
-        # dispatch inline.
         if sparse:
-            # 4-bit packed upload: 2-bit k-mer codes only (128 B/pair
-            # at Lb=256). The device assumes no Ns; rows flagged hasN
-            # get their masks recomputed exactly on host in _finalize
-            # (native psq_cand_mask). num_kmers >= 3 routes EVERY row
-            # through the host's faithful kmerseen simulation — the
-            # reference's misindexed occupancy check
-            # (assembler.c:94-99) drops/overwrites k-mers in a pattern
-            # the device's rank-based seeding cannot express
-            if self._host_only is None:
-                env = os.environ.get("PANDASEQ_TPU_HOST")
-                if env is not None:
-                    self._host_only = env not in ("0", "")
-                else:
-                    import jax
-                    self._host_only = (self.mesh is None
-                                       and jax.default_backend() == "cpu")
-            if self._host_only:
-                # no device: every row's candidate mask comes from the
-                # exact native host twin in _finalize (the same fixup
-                # path hasN rows always take)
-                st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
-                st["cand_faithful"] = cfg.num_kmers >= 3
-                return np.zeros((st["B"], st["O"] // 32), dtype=np.int32)
-            plane, hasN = _native.pack4(batch, Lb)
-            if cfg.num_kmers >= 3:
-                st["hasN_rows"] = np.arange(st["B"], dtype=np.int64)
-                st["cand_faithful"] = True
-            else:
-                st["hasN_rows"] = np.flatnonzero(hasN)
+            if self._resolve_host_only():
+                return self._sparse_host(st)
+            plane = self._sparse_plane(st)
         use_op = False
         if self.mesh is not None:
             n_op = self.mesh.shape.get("op", 1)
             use_op = (n_op > 1 and st["O"] % n_op == 0
                       and st["B"] % self.mesh.shape.get("dp", 1) == 0)
         if sparse:
-            pass  # plane already built (pack4 above)
+            pass  # plane already built above
         elif use_op:
             plane = None  # _dispatch_op ships the planes separately
-        elif lut:
-            plane = np.concatenate(
-                [cut(batch.nt_packed()), cut(batch.fwd_q),
-                 cut(batch.rev_q)], axis=1)
         else:
-            # count-based scoring needs no quality arrays on device
-            plane = np.ascontiguousarray(cut(batch.nt_packed()))
+            plane = self._dense_plane(st, lut)
         inputs = (plane, batch.flen, batch.rlen)
         if self.mesh is not None and plane is not None:
             import jax
@@ -695,32 +786,72 @@ class BatchAssembler:
             if st["B"] % ndp == 0:
                 spec = NamedSharding(self.mesh, P("dp"))
                 inputs = tuple(jax.device_put(a, spec) for a in inputs)
-        common = dict(
-            L=Lb, O=st["O"], SL=self.SL, minoverlap=cfg.minoverlap,
-            maxoverlap=cfg.maxoverlap, num_kmers=cfg.num_kmers,
-            algo_kind=self._algo_kind, pmatch=self._pmatch,
-            pmismatch=self._pmismatch)
         fo32 = st["fo"].astype(np.int32)
         ro32 = st["ro"].astype(np.int32)
         if use_op:
-            out = self._dispatch_op(st, batch, cut, sparse, inputs,
-                                    fo32, ro32)
-        elif sparse:
-            out = self._fused2.assemble_candidates_packed4(
-                *inputs, L=Lb, O=st["O"], num_kmers=cfg.num_kmers)
-        elif lut:
-            out = self._fused2.assemble_shortlist_packed(
-                *inputs, fo32, ro32, nn_term=self._nn_term,
-                lut_match=self._lut_m, lut_mismatch=self._lut_mm,
-                **common)
-        else:
-            out = self._fused2.assemble_shortlist_nt(
-                *inputs, fo32, ro32, **common)
-        try:  # overlap device->host copy with the next batch's compute
-            out.copy_to_host_async()
-        except AttributeError:
-            pass
-        return out
+            return self._dispatch_op(st, batch, lambda a: self._cut(a, Lb),
+                                     sparse, inputs, fo32, ro32)
+        return self._launch(sparse, lut, *inputs, fo32, ro32, Lb, st["O"])
+
+    def _dispatch_group(self, sts):
+        """ONE device dispatch for a group of pre'd batches. The wire
+        charges a fixed per-dispatch floor (~25-40 ms RPC on the dev
+        tunnel, measured; cheaper but real over PCIe) regardless of
+        size, so K stacked batches divide that floor by K. The kernels
+        are batch-parallel, so stacking rows along B is bit-exact —
+        each batch reads back its own row block (_SliceView). Falls
+        back to per-batch dispatch when the group is heterogeneous
+        (shape buckets differ) or a mesh / host-only path is active."""
+        if len(sts) == 1:
+            return [self._dispatch(sts[0])]
+        sparse, lut = self._sparse_mode()
+        if self.mesh is not None or (sparse and self._resolve_host_only()):
+            return [self._dispatch(st) for st in sts]
+        key0 = (sts[0]["Lb"], sts[0]["O"])
+        if any((st["Lb"], st["O"]) != key0 for st in sts):
+            return [self._dispatch(st) for st in sts]
+        Lb, O = key0
+        planes, flens, rlens, fos, ros = [], [], [], [], []
+        for st in sts:
+            st["plane_kind"] = 1 if sparse else 0
+            planes.append(self._sparse_plane(st) if sparse
+                          else self._dense_plane(st, lut))
+            flens.append(st["batch"].flen)
+            rlens.append(st["batch"].rlen)
+            fos.append(st["fo"].astype(np.int32))
+            ros.append(st["ro"].astype(np.int32))
+        dev = self._launch(
+            sparse, lut, np.concatenate(planes, axis=0),
+            np.concatenate(flens), np.concatenate(rlens),
+            np.concatenate(fos), np.concatenate(ros), Lb, O)
+        shared = _SharedFetch(dev)
+        views = []
+        lo = 0
+        for st in sts:
+            views.append(_SliceView(shared, lo, lo + st["B"]))
+            lo += st["B"]
+        return views
+
+    def _dispatch_stream(self, pair_batches, group: int = 1):
+        """(st, dev) pairs in input order, dispatching up to ``group``
+        consecutive same-bucket batches per device call."""
+        pend = []
+
+        def flush():
+            for item in zip(pend, self._dispatch_group(pend)):
+                yield item
+            pend.clear()
+
+        for pairs in pair_batches:
+            st = pairs if isinstance(pairs, dict) else self._pre(pairs)
+            if pend and (st["Lb"], st["O"]) != (pend[0]["Lb"],
+                                                pend[0]["O"]):
+                yield from flush()
+            pend.append(st)
+            if len(pend) >= group:
+                yield from flush()
+        if pend:
+            yield from flush()
 
     def _dispatch_op(self, st, batch, cut, sparse, inputs, fo32, ro32):
         """Overlap-plane-row ("op")-sharded dispatch: the engine path
@@ -1144,7 +1275,7 @@ class BatchAssembler:
 
     def emit_stream(self, pair_batches, fmt: str = "fasta",
                     depth: int = 4, with_extras: bool = False,
-                    threaded: bool = False):
+                    threaded: bool = False, group: int = 1):
         """Pipelined fast path yielding (pairs, codes, payload_bytes[,
         extras]) per batch. Requires pre-assembly primers; filter
         modules are allowed when every check-stage module has a
@@ -1153,7 +1284,8 @@ class BatchAssembler:
         With ``threaded`` the host finalization runs on one worker
         thread (FIFO, so counter updates and batch order stay
         sequential) overlapping the next batch's dispatch/transfer —
-        the pool.c worker/reader overlap, host-side."""
+        the pool.c worker/reader overlap, host-side. ``group`` stacks
+        that many consecutive batches into one device dispatch."""
         assert not self.cfg.post_primers
         assert all(m.check is None or m.check_batch is not None
                    for m in self.modules)
@@ -1166,13 +1298,12 @@ class BatchAssembler:
             return st0["pairs"], codes, payload
 
         if threaded:
-            yield from self._threaded_pipeline(pair_batches, fin, depth)
+            yield from self._threaded_pipeline(pair_batches, fin, depth,
+                                               group)
             return
         q = deque()
-        for pairs in pair_batches:
-            stt = pairs if isinstance(pairs, dict) else self._pre(pairs)
-            dev = self._dispatch(stt)
-            q.append((stt, dev))
+        for st, dev in self._dispatch_stream(pair_batches, group):
+            q.append((st, dev))
             if len(q) > depth:
                 yield fin(*q.popleft())
         while q:

@@ -412,7 +412,7 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                     c.fwd_file, c.rev_file, qualmin=c.qualmin,
                     policy=c.policy, batch=c.batch, L=512,
                     index_path=c.index_file,
-                    ring=0 if detail else 20)
+                    ring=0 if detail else 24)
         except (OSError, RuntimeError):
             native_reader = None
     if native_reader is None:
@@ -524,10 +524,14 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
     if use_emit:
         emit_fmt = "fastq" if c.fastq_out else "fasta"
         # pre_stream runs the _pre stage (prechecks, primer scans) on
-        # the prefetch thread, overlapped with device dispatch
+        # the prefetch thread, overlapped with device dispatch; group
+        # stacks 4 batches per device call to amortize the wire's
+        # fixed per-dispatch floor (grouping is a no-op in host-only
+        # mode, where _dispatch_group falls back per batch)
+        group = int(os.environ.get("PANDASEQ_TPU_GROUP", "4"))
         for pairs, codes, payload, extras in asm.emit_stream(
                 prefetch(asm.pre_stream(batches())), fmt=emit_fmt,
-                with_extras=True, depth=6, threaded=True):
+                with_extras=True, depth=6, threaded=True, group=group):
             out_stream.write(payload)
             overlaps = extras["overlap"]
             scored = extras["scored"]

@@ -43,9 +43,12 @@ def maybe_initialize_distributed():
     return jax.process_index(), jax.process_count()
 
 
-def reduce_counters(counters, histogram: dict):
-    """Global STAT reduction: psum the counter vector + histogram over
-    all hosts (proxy.c's per-thread tallies, reduced).
+def reduce_counters(counters, histogram: dict, modules=()):
+    """Global STAT reduction: psum the counter vector + histogram +
+    per-module reject tallies over all hosts (proxy.c's per-thread
+    tallies reduced; module.c:208-216 prints each module's rejects in
+    the final STAT block, so those reduce too — each module object's
+    ``rejected`` is REPLACED with the global total).
 
     Each process contributes its vector on its FIRST local device's row
     of a device-sharded [n_devices, len] array (other rows zero), so
@@ -55,13 +58,19 @@ def reduce_counters(counters, histogram: dict):
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
 
-    vec = np.zeros(8 + 1024, dtype=np.int32)
+    # merged reads cap at 2*MAX_LEN-1 = 899 nt so every overlap fits;
+    # fail loudly rather than silently dropping a histogram bin
+    assert all(0 <= o < 1024 for o in histogram), \
+        "overlap histogram bin out of range"
+    modules = list(modules)
+    vec = np.zeros(8 + 1024 + len(modules), dtype=np.int32)
     vec[0:8] = [counters.count, counters.ok, counters.noalgn,
                 counters.lowq, counters.badread, counters.slow,
                 counters.nofp, counters.norp]
     for o, n in histogram.items():
-        if 0 <= o < 1024:
-            vec[8 + o] = n
+        vec[8 + o] = n
+    for i, m in enumerate(modules):
+        vec[8 + 1024 + i] = m.rejected
 
     devs = np.asarray(jax.devices())
     mesh = Mesh(devs, ("dp",))
@@ -78,6 +87,8 @@ def reduce_counters(counters, histogram: dict):
     # process's own copy
     out = np.asarray(total.addressable_data(0))
     hist = {o: int(out[8 + o]) for o in range(1024) if out[8 + o] > 0}
+    for i, m in enumerate(modules):
+        m.rejected = int(out[8 + 1024 + i])
     return out[:8], hist
 
 
@@ -115,10 +126,10 @@ def _batches_of(fwd, rev, batch, L):
         from ..io import native
         if native.get_lib() is None:
             raise RuntimeError
-        # ring: prefetch(4) + pipeline depth(3) + consumer < 16 batches
-        # in flight; persistent decode buffers (see NativeBatchReader)
+        # ring: prefetch(8) + pipeline depth(6) + dispatch group(4) +
+        # consumer < 28 batches in flight; persistent decode buffers
         yield from native.NativeBatchReader(fwd, rev, batch=batch, L=L,
-                                            ring=16)
+                                            ring=28)
     except (RuntimeError, OSError):
         from ..io import fastq as fq
         reader = fq.read_pairs(fwd, rev)
@@ -138,18 +149,35 @@ def _batches_of(fwd, rev, batch, L):
 def run_distributed(inputs, cfg=None, out_dir: str = ".",
                     batch: int = 4096, L: int = 512, modules=(),
                     checkpoint: str | None = None, fastq: bool = False,
-                    op: int = 1):
+                    op: int = 1, perf_out: dict | None = None,
+                    group: int = 4, depth: int = 6):
     """Assemble a list of (fwd, rev) FASTQ pairs across all hosts.
 
-    Returns (counters_vector, histogram) reduced over every host.
+    Returns (counters_vector, histogram) reduced over every host; each
+    module object's ``rejected`` is replaced by its global total
+    (module.c:208-216's per-module STAT lines, reduced).
     Output is written per-host to out_dir/part-<process>.fasta.
+
+    The per-host driver is the SAME byte fast path the CLI rides
+    (emit_stream: native psq_finalize payload bytes, grouped
+    mega-dispatch, threaded finalize) whenever the config allows it —
+    stateless default configs stream at CLI speed per host; configs
+    with python check-stage modules or post-assembly primers fall back
+    to the general per-record path.
 
     With fewer file pairs than hosts, each pair's batch stream is
     claimed round-robin across the hosts sharing it (the PandaMux
     analogue, mux.c:132-161) so one input keeps every host busy.
+
+    perf_out (optional dict) receives this host's wall seconds, pair
+    count and pairs/s — the scaling-efficiency probe for BASELINE
+    config 5.
     """
+    import time as _time
+
     from .. import oracle
     from ..assembler import BatchAssembler
+    from ..io import native as _native
     from ..io import output as out_mod
     from ..io.prefetch import prefetch
 
@@ -185,10 +213,20 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
         checkpoint = "%s.%05d" % (checkpoint, pidx)  # per-host sidecar
     ck = ShardCheckpoint(checkpoint)
 
+    # byte fast path eligibility: same rule as the CLI (cli/main.py
+    # use_emit) — pre-assembly primers only, every check-stage module
+    # vectorized, native finalize present
+    use_emit = (not cfg.post_primers and _native.get_lib() is not None
+                and all(m.check is None or m.check_batch is not None
+                        for m in asm.modules))
+    emit_fmt = "fastq" if fastq else "fasta"
+
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "part-%05d.%s"
                             % (pidx, "fastq" if fastq else "fasta"))
     mode = "ab" if checkpoint and os.path.exists(out_path) else "wb"
+    t0 = _time.perf_counter()
+    n_pairs = 0
     with open(out_path, mode) as out:
         for shard_no, (fwd, rev), claim, n_claim in my_inputs:
             start_after = ck.watermark(shard_no)
@@ -210,12 +248,31 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
                     idx_iter.append(i)
                     yield b
 
-            for _, results in asm.assemble_stream(tagged()):
-                batch_no = idx_iter.pop(0)
-                for code, res in results:
-                    if code == "OK":
-                        out.write(fmt(res))
-                out.flush()
-                ck.record(shard_no, batch_no)
+            if use_emit:
+                for _, codes, payload in asm.emit_stream(
+                        prefetch(asm.pre_stream(tagged()), depth=depth
+                                 + 2),
+                        fmt=emit_fmt, depth=depth, threaded=True,
+                        group=group):
+                    batch_no = idx_iter.pop(0)
+                    n_pairs += len(codes)
+                    out.write(payload)
+                    out.flush()
+                    ck.record(shard_no, batch_no)
+            else:
+                for _, results in asm.assemble_stream(tagged(),
+                                                      group=group):
+                    batch_no = idx_iter.pop(0)
+                    n_pairs += len(results)
+                    for code, res in results:
+                        if code == "OK":
+                            out.write(fmt(res))
+                    out.flush()
+                    ck.record(shard_no, batch_no)
 
-    return reduce_counters(asm.counters, asm.counters.overlaps)
+    if perf_out is not None:
+        wall = _time.perf_counter() - t0
+        perf_out.update(process=pidx, pairs=n_pairs, wall_s=wall,
+                        pairs_per_sec=(n_pairs / wall if wall else 0.0))
+    return reduce_counters(asm.counters, asm.counters.overlaps,
+                           asm.modules)

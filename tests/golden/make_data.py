@@ -73,57 +73,72 @@ def make_pair(rng: random.Random, read_len: int, amp_min: int, amp_max: int,
 
 def main_fast(args):
     """Vectorized generator for large benchmark sets (same statistical
-    regimes, numpy RNG stream)."""
+    regimes, numpy RNG stream). Sets above _CHUNK pairs are produced in
+    independent chunks (fresh per-chunk RNG seed), bounding peak memory
+    at ~chunk * (amp_max + 13 * read_len) bytes — 10M-pair 2x300 sets
+    (BASELINE config 5) fit comfortably."""
     import numpy as np
-    rng = np.random.RandomState(args.seed)
-    n = args.pairs
+    _CHUNK = 250_000
+    n_total = args.pairs
     rl = args.read_len
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     comp = np.zeros(256, dtype=np.uint8)
     for a, b in zip(b"ACGTN", b"TGCAN"):
         comp[a] = b
-    amp_len = rng.randint(args.amp_min, args.amp_max + 1, size=n)
-    max_amp = args.amp_max
-    amp = bases[rng.randint(0, 4, size=(n, max_amp))]
     import os
     os.makedirs(os.path.dirname(args.out_prefix) or ".", exist_ok=True)
     fa = open(args.out_prefix + "_1.fastq", "wb")
     fb = open(args.out_prefix + "_2.fastq", "wb")
     pos = np.arange(rl)
-    for which, fh in ((0, fa), (1, fb)):
-        if which == 0:
-            reads = amp[:, :rl].copy()
-        else:
-            # reverse complement of the amplicon tail, ragged by amp_len
-            idx = amp_len[:, None] - 1 - pos[None, :]
-            reads = comp[amp[np.arange(n)[:, None], np.clip(idx, 0,
-                                                            max_amp - 1)]]
-        q = np.clip(rng.normal(38 - 14 * pos / rl, 4, size=(n, rl)),
-                    2, 40).astype(np.int32)
-        cliff = rng.random_sample(n) < 0.15
-        cliff_start = rng.randint(rl * 3 // 4, rl + 1, size=n)
-        q = np.where(cliff[:, None] & (pos[None, :] >=
-                                       cliff_start[:, None]), 2, q)
-        perr = 10.0 ** (-q / 10.0)
-        err = rng.random_sample((n, rl)) < perr
-        sub = bases[rng.randint(0, 4, size=(n, rl))]
-        reads = np.where(err, sub, reads)
-        qbytes = (q + 33).astype(np.uint8)
-        tag = args.tag
-        out = []
-        for i in range(n):
-            out.append(b"@M00000:7:000000000-TEST1:1:1101:%d:%d %d:N:0:%s\n"
-                       % (10000 + i, 2000 + i, which + 1, tag.encode()))
-            out.append(reads[i].tobytes())
-            out.append(b"\n+\n")
-            out.append(qbytes[i].tobytes())
-            out.append(b"\n")
-            if len(out) > 50000:
-                fh.write(b"".join(out))
-                out = []
-        fh.write(b"".join(out))
-        fh.close()
-    print("wrote %d pairs to %s_[12].fastq (fast)" % (n, args.out_prefix))
+    max_amp = args.amp_max
+    tag = args.tag
+    base_i = 0
+    while base_i < n_total:
+        n = min(_CHUNK, n_total - base_i)
+        rng = np.random.RandomState(args.seed if base_i == 0
+                                    else args.seed + 1000003
+                                    + base_i // _CHUNK)
+        amp_len = rng.randint(args.amp_min, args.amp_max + 1, size=n)
+        amp = bases[rng.randint(0, 4, size=(n, max_amp))]
+        for which, fh in ((0, fa), (1, fb)):
+            if which == 0:
+                reads = amp[:, :rl].copy()
+            else:
+                # reverse complement of the amplicon tail, ragged by
+                # amp_len
+                idx = amp_len[:, None] - 1 - pos[None, :]
+                reads = comp[amp[np.arange(n)[:, None],
+                                 np.clip(idx, 0, max_amp - 1)]]
+            q = np.clip(rng.normal(38 - 14 * pos / rl, 4, size=(n, rl)),
+                        2, 40).astype(np.int32)
+            cliff = rng.random_sample(n) < 0.15
+            cliff_start = rng.randint(rl * 3 // 4, rl + 1, size=n)
+            q = np.where(cliff[:, None] & (pos[None, :] >=
+                                           cliff_start[:, None]), 2, q)
+            perr = 10.0 ** (-q / 10.0)
+            err = rng.random_sample((n, rl)) < perr
+            sub = bases[rng.randint(0, 4, size=(n, rl))]
+            reads = np.where(err, sub, reads)
+            qbytes = (q + 33).astype(np.uint8)
+            out = []
+            for i in range(n):
+                gi = base_i + i
+                out.append(
+                    b"@M00000:7:000000000-TEST1:1:1101:%d:%d %d:N:0:%s\n"
+                    % (10000 + gi, 2000 + gi, which + 1, tag.encode()))
+                out.append(reads[i].tobytes())
+                out.append(b"\n+\n")
+                out.append(qbytes[i].tobytes())
+                out.append(b"\n")
+                if len(out) > 50000:
+                    fh.write(b"".join(out))
+                    out = []
+            fh.write(b"".join(out))
+        base_i += n
+    fa.close()
+    fb.close()
+    print("wrote %d pairs to %s_[12].fastq (fast)"
+          % (n_total, args.out_prefix))
 
 
 def main():

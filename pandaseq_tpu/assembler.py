@@ -348,6 +348,112 @@ class _SliceView:
         return out
 
 
+class _BatchResults:
+    """Columnar backing shared by one batch's NativeResult rows."""
+
+    __slots__ = ("sids", "osc_l", "qual_l", "best_l", "ascii", "pidx",
+                 "ptbl", "fo_l", "ro_l", "flen_l", "rlen_l")
+
+    def __init__(self, st, r, ptbl):
+        self.sids = st["batch"].sids
+        self.osc_l = r["osc"].tolist()
+        self.qual_l = r["quality"].tolist()
+        self.best_l = r["best"].tolist()
+        self.ascii = r["ascii"]
+        self.pidx = r["pidx"]
+        self.ptbl = ptbl
+        self.fo_l = st["fo"].tolist()
+        self.ro_l = st["ro"].tolist()
+        self.flen_l = st["flen"].tolist()
+        self.rlen_l = st["rlen"].tolist()
+
+
+class NativeResult:
+    """OracleResult-compatible lazy row view over the native finalize
+    arrays: the batched library path hands out B of these per batch and
+    most consumers read only a few fields, so nothing materializes
+    until accessed (the eager per-row OracleResult build was ~3 us/row
+    — the whole library-path ceiling)."""
+
+    __slots__ = ("_v", "_b", "_nt", "_p", "sequence")
+
+    def __init__(self, v, b):
+        self._v = v
+        self._b = b
+        self._nt = None
+        self._p = None
+        self.sequence = None
+
+    @property
+    def sid(self):
+        return self._v.sids[self._b]
+
+    @property
+    def sequence_length(self):
+        return self._v.osc_l[self._b][1]
+
+    @property
+    def quality(self):
+        return self._v.qual_l[self._b]
+
+    @property
+    def overlap(self):
+        return self._v.osc_l[self._b][0]
+
+    @property
+    def overlaps_examined(self):
+        return self._v.osc_l[self._b][4]
+
+    @property
+    def overlap_mismatches(self):
+        return self._v.osc_l[self._b][3]
+
+    @property
+    def degenerates(self):
+        return self._v.osc_l[self._b][2]
+
+    @property
+    def estimated_overlap_probability(self):
+        return self._v.best_l[self._b]
+
+    @property
+    def slow(self):
+        return bool(self._v.osc_l[self._b][5] & 2)
+
+    @property
+    def forward_offset(self):
+        return self._v.fo_l[self._b]
+
+    @property
+    def reverse_offset(self):
+        return self._v.ro_l[self._b]
+
+    @property
+    def forward_length(self):
+        return self._v.flen_l[self._b]
+
+    @property
+    def reverse_length(self):
+        return self._v.rlen_l[self._b]
+
+    @property
+    def sequence_ascii(self):
+        return self._v.ascii[self._b, :self.sequence_length]
+
+    @property
+    def sequence_nt(self):
+        if self._nt is None:
+            self._nt = IUPAC_FORWARD[self.sequence_ascii & 0x1F]
+        return self._nt
+
+    @property
+    def sequence_p(self):
+        if self._p is None:
+            v = self._v
+            self._p = v.ptbl[v.pidx[self._b, :self.sequence_length]]
+        return self._p
+
+
 @dataclass
 class Counters:
     """The reference's per-assembler STAT counters (pool.c:83-104)."""
@@ -1079,9 +1185,87 @@ class BatchAssembler:
         return out, r["payload"], extras
 
     def _results_from_native(self, st, r):
-        """General path: build OracleResults from the native arrays,
-        then post primers / threshold / filter modules in order
-        (assembler.c:301-348)."""
+        """General (library) path: lazy columnar NativeResult views +
+        vectorized threshold/module verdicts and counter updates
+        (assembler.c:301-348 semantics). post_primers configs keep the
+        eager per-row loop (they mutate result fields in place)."""
+        if self.cfg.post_primers:
+            return self._results_from_native_eager(st, r)
+        c = self.counters
+        codes = r["codes"]
+        osc = r["osc"]
+        B = len(codes)
+        c.slow += int(((osc[:, 5] & 2) != 0).sum())
+        c.badread += int((codes == 1).sum())
+        c.nofp += int((codes == 3).sum())
+        c.norp += int((codes == 4).sum())
+        c.noalgn += int((codes == 5).sum())
+        recon_ok = codes == 0
+        lowq = recon_ok & (r["quality"] < self.cfg.threshold)
+        c.lowq += int(lowq.sum())
+        sel = recon_ok & ~lowq
+        rows = _BatchResults(st, r, self._ptbl)
+        # module check chain (assembler.c:339): module-major with an
+        # alive mask == the reference's pair-major first-failure
+        # short-circuit; vectorized check_batch when the module has
+        # one, scalar check over lazy rows otherwise
+        module_rej = np.zeros(B, dtype=bool)
+        bview = None
+        for mod in self.modules:
+            if not sel.any():
+                break
+            if mod.check_batch is not None:
+                if bview is None:
+                    bview = ResultBatchView(st, r, self._ptbl)
+                ok_mask = np.asarray(mod.check_batch(bview, sel))
+                rej = sel & ~ok_mask
+            elif mod.check is not None:
+                rej = np.zeros(B, dtype=bool)
+                for b in np.flatnonzero(sel):
+                    if not mod.check(NativeResult(rows, b)):
+                        rej[b] = True
+            else:
+                continue
+            nrej = int(rej.sum())
+            if nrej:
+                mod.rejected += nrej
+                module_rej |= rej
+                sel &= ~rej
+        n_ok = int(sel.sum())
+        c.ok += n_ok
+        if n_ok:
+            hist = np.bincount(osc[sel, 0], minlength=1)
+            for o in np.flatnonzero(hist):
+                c.overlaps[int(o)] = c.overlaps.get(int(o), 0) \
+                    + int(hist[o])
+        out = [(None, None)] * B
+        sel_l = sel.tolist()
+        codes_l = codes.tolist()
+        lowq_l = lowq.tolist()
+        modrej_l = module_rej.tolist()
+        scored = (osc[:, 5] & 1).tolist()
+        names = _CODE_NAMES
+        for b in range(B):
+            if sel_l[b]:
+                out[b] = ("OK", NativeResult(rows, b))
+            elif modrej_l[b]:
+                out[b] = ("MODULE", NativeResult(rows, b))
+            elif lowq_l[b]:
+                out[b] = ("LOWQ", NativeResult(rows, b))
+            else:
+                cd = codes_l[b]
+                if cd == 5 and scored[b]:
+                    # align ran: a BESTOLP line (possibly -1) is due
+                    # (assembler.c:139 precedes the early-outs)
+                    out[b] = ("NOALGN", NativeResult(rows, b))
+                else:
+                    out[b] = (names[cd], None)
+        return out
+
+    def _results_from_native_eager(self, st, r):
+        """Eager per-row OracleResult build + post primers / threshold /
+        filter modules in order (assembler.c:301-348) — the post_primers
+        path, which truncates result fields in place."""
         c = self.counters
         codes = r["codes"]
         osc = r["osc"]

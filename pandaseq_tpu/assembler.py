@@ -720,15 +720,20 @@ class BatchAssembler:
 
         # shape buckets: overlap axis needs max(maxo); frame width needs
         # the batch's own max read length (>= O); 128-bucketed so the
-        # jit cache stays small
-        O = int(min(self.L, _bucket(max(int(maxo.max(initial=1)), 1))))
+        # jit cache stays small. O_full > O (an explicit -O beyond the
+        # frame width with long reads: maxo can reach 2*MAX_LEN-3)
+        # cannot be represented on the device plane — those batches
+        # reroute to the host candidate twin at full mask width
+        # (_dispatch's overflow branch).
+        O_full = int(_bucket(max(int(maxo.max(initial=1)), 1)))
+        O = int(min(self.L, O_full))
         Lb = int(min(self.L, max(
             _bucket(int(max(flen.max(initial=1), rlen.max(initial=1)))),
             O)))
         return dict(pairs=pairs, batch=batch, B=B, flen=flen, rlen=rlen,
                     fo=fo, ro=ro, badread=badread, prerej=prerej,
                     nofp=nofp, norp=norp, shortread=shortread, maxo=maxo,
-                    negs=negs, skip=skip, O=O, Lb=Lb)
+                    negs=negs, skip=skip, O=O, Lb=Lb, O_full=O_full)
 
     def _primer_offsets(self, batch, forward: bool):
         """panda_compute_offset over the whole batch (offset.c:47-90):
@@ -861,12 +866,28 @@ class BatchAssembler:
             pass
         return out
 
+    def _overflow_host(self, st):
+        """maxo exceeds the device plane width (explicit -O beyond the
+        frame bucket with long reads): widen the candidate mask to
+        O_full and compute it with the exact native host twin — the
+        device cannot represent diagonals past O. Works for every
+        algorithm: built-ins score the masked candidates exactly in
+        psq_finalize; custom algorithms replay through the oracle
+        (fb covers selection), with examined/SLOW derived from the
+        same reference-faithful mask."""
+        st["O"] = st["O_full"]
+        st["plane_kind"] = 1
+        return self._sparse_host(st)
+
     def _dispatch(self, st):
         """Stage 1: the fused device step (single dispatch;
         ops/fused2.py). Returns async device arrays — do not block."""
         cfg = self.cfg
         batch = st["batch"]
         Lb = st["Lb"]
+        from .io import native as _native
+        if st["O_full"] > st["O"] and _native.get_lib() is not None:
+            return self._overflow_host(st)
         sparse, lut = self._sparse_mode()
         st["plane_kind"] = 1 if sparse else 0
         if sparse:
@@ -911,7 +932,8 @@ class BatchAssembler:
         if len(sts) == 1:
             return [self._dispatch(sts[0])]
         sparse, lut = self._sparse_mode()
-        if self.mesh is not None or (sparse and self._resolve_host_only()):
+        if self.mesh is not None or (sparse and self._resolve_host_only()) \
+                or any(st["O_full"] > st["O"] for st in sts):
             return [self._dispatch(st) for st in sts]
         key0 = (sts[0]["Lb"], sts[0]["O"])
         if any((st["Lb"], st["O"]) != key0 for st in sts):
@@ -994,14 +1016,16 @@ class BatchAssembler:
 
     def _resolve_fallbacks(self, st, plane):
         """Pairs the shortlist cannot decide exactly (n_band > SL) — or
-        every pair, for custom algorithms — replay through the numpy
-        oracle for their selection."""
+        every pair, for custom algorithms (whose plane may be a
+        candidate mask of a different width) — replay through the
+        numpy oracle for their selection."""
         B = st["B"]
         SL = self.SL
-        n_band = plane[:, 2 * SL + 2]
         fb_mask = np.zeros(B, dtype=np.uint8)
-        need = (n_band > SL) if not self._custom \
-            else np.ones(B, dtype=bool)
+        if self._custom:
+            need = np.ones(B, dtype=bool)
+        else:
+            need = plane[:, 2 * SL + 2] > SL  # n_band
         need = need & (st["skip"] == 0)
         fb_besto = np.zeros(B, dtype=np.int32)
         fb_aligned = np.zeros(B, dtype=np.uint8)
@@ -1027,8 +1051,6 @@ class BatchAssembler:
             return self._finalize_py(st, plane, emit)
         pk = st.get("plane_kind", 0)
         if pk:
-            # sparse LUT path: f64 selection is exact by construction —
-            # no band, no oracle replay
             B = st["B"]
             rows = st.get("hasN_rows")
             if rows is not None and len(rows):
@@ -1040,8 +1062,15 @@ class BatchAssembler:
                                                         False))
                 plane = np.array(plane)  # writable copy
                 plane[rows] = fix
-            fb = (np.zeros(B, np.uint8), np.zeros(B, np.int32),
-                  np.zeros(B, np.uint8), np.zeros(B, np.float64))
+            if self._custom:
+                # custom algorithms on the mask path (the O-overflow
+                # reroute): selection replays through the oracle
+                fb = self._resolve_fallbacks(st, plane)
+            else:
+                # sparse path: f64 selection is exact by construction —
+                # no band, no oracle replay
+                fb = (np.zeros(B, np.uint8), np.zeros(B, np.int32),
+                      np.zeros(B, np.uint8), np.zeros(B, np.float64))
         else:
             fb = self._resolve_fallbacks(st, plane)
         fmt = 0 if emit is None else (2 if emit == "fastq" else 1)

@@ -1044,7 +1044,30 @@ class BatchAssembler:
                 fb_best[b] = res.estimated_overlap_probability
         return fb_mask, fb_besto, fb_aligned, fb_best
 
+    def _check_ring(self, st):
+        """Fail loudly if the decode ring lapped this batch's buffers
+        while they were in flight (undersized ring for the pipeline
+        depth/group/claim stride — silent data corruption otherwise)."""
+        batch = st["batch"]
+        src = getattr(batch, "_ring_src", None)
+        if src is not None and \
+                src._ring_i - batch._ring_gen >= src._ring_n:
+            raise RuntimeError(
+                "decode ring overrun: batch buffers were reused while "
+                "still in flight (ring=%d, %d batches pulled since) — "
+                "increase NativeBatchReader ring for this pipeline "
+                "depth/group/claim stride"
+                % (src._ring_n, src._ring_i - batch._ring_gen))
+
     def _finalize(self, st, dev, emit: str | None = None):
+        out = self._finalize_inner(st, dev, emit)
+        # after every read of the batch's (possibly ring-backed)
+        # planes: native finalize/emit and the skip/fallback paths have
+        # all consumed them by now
+        self._check_ring(st)
+        return out
+
+    def _finalize_inner(self, st, dev, emit: str | None = None):
         from .io import native as _native
         plane = np.asarray(dev)
         if _native.get_lib() is None:

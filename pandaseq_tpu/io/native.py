@@ -590,6 +590,14 @@ class NativeBatchReader:
         b.pairs = _LazyViews(b)
         b._ids_buf = ids
         b._nt_pack = nt_pack
+        if self._ring_n:
+            # overrun tripwire: the consumer (BatchAssembler._finalize)
+            # asserts the ring hasn't lapped this batch's buffers while
+            # they were still in use — an undersized ring otherwise
+            # corrupts output SILENTLY (stale planes score as plausible
+            # reads)
+            b._ring_gen = self._ring_i
+            b._ring_src = self
         return b
 
     def close(self):

@@ -49,6 +49,7 @@ integers, so a psum reassembles them exactly).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -471,6 +472,91 @@ def assemble_shortlist_nt(nt_pack, flen, rlen, fo, ro, *, L: int,
         lut_match=None, lut_mismatch=None)
 
 
+def cand_mask_join(cf, nonn_f, cr, nonn_r, flen, rlen, L, O, num_kmers):
+    """Candidate bitmask via a sorted k-mer JOIN — O(L log L) per pair
+    instead of the O(L * O^2) diagonal-reduction matmul, built ONLY
+    from one sort, reverse cumulative mins and elementwise ops (per-row
+    gathers are ~100x slower than sorts on TPU, measured).
+
+    Key identity: under the key (kmer << 10 | (L-1-j')), ascending
+    order within one k-mer's run IS raw ascending order, so the first
+    num_kmers keys of a run are exactly the kmerseen-stored positions
+    (assembler.c:91-100). Sort the forward emissions TOGETHER with the
+    reverse-emission probe keys (kmer << 10, tie-broken before equal
+    sources); then for every probe lane the t-th smallest source key
+    >= it — the t-th stored occurrence of its k-mer, if the k-mer
+    matches — arrives by pure propagation:
+
+        m_0 = source ? key : INF          r_0 = rcummin(m_0)
+        m_t = source ? r_{t-1}[i+1] : INF r_t = rcummin(m_t)
+
+    (r_{t-1}[i+1] at a source lane is that source's t-th successor key;
+    all chains are ascending, so rcummin propagates the nearest one.)
+    Each (stored j', probe i) k-mer match contributes candidate offset
+    o = j' + i + 1; bits OR-reduce into [B, O//32] words (idempotent —
+    no dedupe pass needed).
+
+    Exactly equal to (plane_cand != 0 | pack_bits16) for num_kmers <=
+    the propagation unroll; only k in {1, 2} reaches the device (k >= 3
+    is host-faithful, k = 0 stores nothing). Tested against the matmul
+    twin, which remains the op-sharded mesh path."""
+    B = cf.shape[0]
+    W = O // 32
+    if num_kmers <= 0:  # nothing stored -> empty mask
+        return jnp.zeros((B, W), dtype=jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    kf = _kmer_lead(cf, L)
+    kr = _kmer_trail(cr, L)
+    emit_f = _window9_lead(nonn_f, L) & (pos <= flen[:, None] - 9)
+    emit_r = (_window9_trail(nonn_r, L) & (pos >= KMER_LEN)
+              & (pos < rlen[:, None]))
+    assert L <= 1024
+    # ONE int32 key carries everything — kmer<<11 | src<<10 | pos10 —
+    # so the combined sort needs no payload operand (a payload sort
+    # measured 3.2 ms where the 1-key sort is ~free). Real kmers are
+    # 16-bit; non-emitted lanes park above 2^29, distinct per lane.
+    src_v = jnp.where(emit_f, (kf << 11) | 1024 | (L - 1 - pos),
+                      jnp.int32(0x20000000) | 1024 | pos)
+    prb_v = jnp.where(emit_r, (kr << 11) | pos,
+                      jnp.int32(0x28000000) | pos)
+    v = jax.lax.sort(jnp.concatenate([src_v, prb_v], axis=1),
+                     dimension=1)
+    is_src = (v & 1024) != 0
+    INF = jnp.int32(0x7FFFFFFF)
+    inf_col = jnp.full((B, 1), INF, jnp.int32)
+    kmer_lane = v >> 11
+    i_lane = v & 1023  # probe's reverse position at probe lanes
+    r_prev = None
+    cand = []
+    for _ in range(num_kmers):
+        # m at source lanes: own key (t=0) or the t-th successor's key
+        # (t>0, via the previous round's propagation shifted one lane);
+        # both chains ascend, so reverse cummin propagates the nearest
+        m = jnp.where(is_src,
+                      v if r_prev is None
+                      else jnp.concatenate([r_prev[:, 1:], inf_col],
+                                           axis=1),
+                      INF)
+        r = jax.lax.cummin(m, axis=1, reverse=True)
+        ok = ~is_src & ((r >> 11) == kmer_lane)
+        o = (L - 1 - (r & 1023)) + i_lane + 1
+        ok &= (o >= 1) & (o <= O)
+        cand.append(jnp.where(ok, o - 1, jnp.int32(-1)))
+        r_prev = r
+    # pack: dedupe by one more (free) 1-key sort, then per-word
+    # sum-of-distinct-powers == OR. The W loop is unrolled python-side
+    # so every op stays full-width [B, P] — a [B, P, W] plane with W
+    # minor measured ~100x slower
+    so = jax.lax.sort(jnp.concatenate(cand, axis=1), dimension=1)
+    uniq = (so >= 0) & jnp.concatenate(
+        [jnp.ones((B, 1), bool), so[:, 1:] != so[:, :-1]], axis=1)
+    word = so >> 5
+    bit = jnp.where(uniq, jnp.int32(1) << (so & 31), jnp.int32(0))
+    cols = [jnp.sum(jnp.where(word == w, bit, 0), axis=1,
+                    dtype=jnp.int32) for w in range(W)]
+    return jnp.stack(cols, axis=1)
+
+
 def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
     """K-mer candidate plane only: candc[b, o-1] = # of (j', i) pairs
     with equal stored/emitted k-mers on diagonal o = j'+i+1 — the
@@ -551,6 +637,16 @@ def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
     cf = unpack2(p32[:, :q])
     cr = unpack2(p32[:, q:2 * q])
     nonn = jnp.ones(cf.shape, dtype=bool)
+    if num_kmers <= 2 and os.environ.get("PANDASEQ_TPU_JOIN"):
+        # alternate sorted-join kernel (opt-in): O(L log L)/pair vs the
+        # matmul's O(L*O^2). On v5e at L=O=256 the MXU matmul still
+        # wins (3.7 vs 6.0 ms/16k-batch measured; the diagonal plane
+        # rides the 394 Tops int8 MXU while the join rides sorts on
+        # the VPU), so the matmul stays default — the join is kept
+        # exactness-tested for sizes/hardware where the O(L^3) work
+        # ratio flips the balance
+        return cand_mask_join(cf, nonn, cr, nonn, flen, rlen, L, O,
+                              num_kmers)
     Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
                                  L, num_kmers)
     (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))

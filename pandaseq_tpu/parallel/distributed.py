@@ -121,15 +121,21 @@ def shard_inputs(inputs, process_index: int, process_count: int):
             if i % process_count == process_index]
 
 
-def _batches_of(fwd, rev, batch, L):
+def _batches_of(fwd, rev, batch, L, ring=28):
     try:
         from ..io import native
         if native.get_lib() is None:
             raise RuntimeError
         # ring: prefetch(8) + pipeline depth(6) + dispatch group(4) +
-        # consumer < 28 batches in flight; persistent decode buffers
+        # consumer < 28 batches in flight; persistent decode buffers.
+        # CALLERS THAT SKIP BATCHES (mux round-robin claims) must scale
+        # ring by the claim stride: the decoder cycles one slot per
+        # DECODED batch, so n_claim-strided consumption holds each
+        # claimed batch across n_claim slot reuses (a 5M-pair mux run
+        # silently corrupted ~36k records before this was sized right;
+        # the engine now also hard-fails on overrun).
         yield from native.NativeBatchReader(fwd, rev, batch=batch, L=L,
-                                            ring=28)
+                                            ring=ring)
     except (RuntimeError, OSError):
         from ..io import fastq as fq
         reader = fq.read_pairs(fwd, rev)
@@ -240,7 +246,9 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
                     if i > start_after:
                         yield i, b
 
-            stream = claimed(prefetch(_batches_of(fwd, rev, batch, L)))
+            stream = claimed(prefetch(_batches_of(
+                fwd, rev, batch, L,
+                ring=(2 * depth + group + 16) * n_claim)))
             idx_iter = []
 
             def tagged():

@@ -183,6 +183,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/psq_scale")
     ap.add_argument("--skip-mux", action="store_true",
                     help="striped mode only")
+    ap.add_argument("--mode", choices=["both", "striped", "mux"],
+                    default="both",
+                    help="rerun one mode, merging into an existing "
+                         "--out artifact")
     args = ap.parse_args()
 
     inputs = ensure_data(args.pairs, args.procs)
@@ -193,14 +197,21 @@ def main():
         "config": "BASELINE config 5: %dM-pair synthetic MiSeq 2x300, "
                   "%d hosts (virtual CPU mesh, jax.distributed/Gloo)"
                   % (args.pairs // 1_000_000, args.procs),
-        # striped = the data-parallel layout (one input stripe per
-        # host); mux = one SHARED stream, round-robin batch claims
-        # (mux.c:132-161) — every host decodes the full stream, so its
-        # scaling ceiling is lower by construction
-        "striped": run_mode("striped", inputs, args.procs, omp,
-                            args.workdir),
     }
-    if not args.skip_mux:
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                out.update(json.load(fh))
+        except Exception:
+            pass
+    # striped = the data-parallel layout (one input stripe per host);
+    # mux = one SHARED stream, round-robin batch claims (mux.c:132-161)
+    # — every host decodes the full stream, so its scaling ceiling is
+    # lower by construction
+    if args.mode in ("both", "striped"):
+        out["striped"] = run_mode("striped", inputs, args.procs, omp,
+                                  args.workdir)
+    if args.mode in ("both", "mux") and not args.skip_mux:
         out["mux_shared_stream"] = run_mode("mux", inputs[:1], args.procs,
                                             omp, args.workdir)
     with open(args.out, "w") as fh:

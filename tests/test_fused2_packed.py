@@ -118,3 +118,38 @@ def test_candidates_pack4_with_host_n_fix_matches_nt():
             plane4, flen, rlen, L=L, num_kmers=nk)))
         got_k[rows] = native.cand_mask(_B(), rows, nk, L)
         np.testing.assert_array_equal(got_k, ref_k)
+
+
+def test_cand_mask_join_matches_matmul_twin():
+    """The gather-free sorted-join kernel (fused2.cand_mask_join,
+    opt-in via PANDASEQ_TPU_JOIN) must equal the production diagonal
+    matmul bit-for-bit, including deep k-mer runs (low-entropy rows,
+    rank >= num_kmers drops), edge lengths, and k in {0, 1, 2}."""
+    import jax.numpy as jnp
+
+    from pandaseq_tpu.ops import fused2
+
+    rng = np.random.default_rng(7)
+    cases = [(2, 128, 2), (2, 256, 4), (1, 256, 4), (0, 256, 2),
+             (2, 384, 2), (1, 128, 2)]
+    for nk, L, alpha in cases:
+        B, O = 64, L
+        cf = rng.integers(0, alpha, size=(B, L)).astype(np.int32)
+        cr = rng.integers(0, alpha, size=(B, L)).astype(np.int32)
+        flen = rng.integers(2, L + 1, size=B).astype(np.int32)
+        rlen = rng.integers(2, L + 1, size=B).astype(np.int32)
+        flen[:4] = [2, 9, 10, L]
+        rlen[:4] = [2, 9, L, 10]
+        pos = np.arange(L)[None, :]
+        cf = np.where(pos < flen[:, None], cf, 0)
+        cr = np.where(pos < rlen[:, None], cr, 0)
+        nonn = jnp.ones((B, L), bool)
+        Fkm, Rkm = fused2.kmer_frames_codes(
+            jnp.asarray(cf), nonn, jnp.asarray(cr), nonn, flen, rlen,
+            L, nk)
+        ref = np.asarray(fused2.pack_bits16(
+            fused2.plane_cand(Fkm, Rkm, O) != 0, O))
+        got = np.asarray(fused2.cand_mask_join(
+            jnp.asarray(cf), nonn, jnp.asarray(cr), nonn, flen, rlen,
+            L, O, nk))
+        np.testing.assert_array_equal(got, ref, err_msg=f"nk={nk} L={L}")

@@ -352,10 +352,18 @@ class _BatchResults:
     """Columnar backing shared by one batch's NativeResult rows."""
 
     __slots__ = ("sids", "osc_l", "qual_l", "best_l", "ascii", "pidx",
-                 "ptbl", "fo_l", "ro_l", "flen_l", "rlen_l")
+                 "ptbl", "fo_l", "ro_l", "flen_l", "rlen_l",
+                 "_ring_src", "_ring_gen")
 
     def __init__(self, st, r, ptbl):
-        self.sids = st["batch"].sids
+        batch = st["batch"]
+        self.sids = batch.sids
+        # sids may be a lazy view over the decoder's RING id buffer
+        # (io/native.py _LazyIds); a deferred .sid read after the ring
+        # laps would silently return another batch's id — fail loudly
+        # instead (same contract as BatchAssembler._check_ring)
+        self._ring_src = getattr(batch, "_ring_src", None)
+        self._ring_gen = getattr(batch, "_ring_gen", 0)
         self.osc_l = r["osc"].tolist()
         self.qual_l = r["quality"].tolist()
         self.best_l = r["best"].tolist()
@@ -375,18 +383,29 @@ class NativeResult:
     until accessed (the eager per-row OracleResult build was ~3 us/row
     — the whole library-path ceiling)."""
 
-    __slots__ = ("_v", "_b", "_nt", "_p", "sequence")
+    __slots__ = ("_v", "_b", "_nt", "_p", "_sid", "sequence")
 
     def __init__(self, v, b):
         self._v = v
         self._b = b
         self._nt = None
         self._p = None
+        self._sid = None
         self.sequence = None
 
     @property
     def sid(self):
-        return self._v.sids[self._b]
+        if self._sid is None:
+            v = self._v
+            src = v._ring_src
+            if src is not None and \
+                    src._ring_i - v._ring_gen >= src._ring_n:
+                raise RuntimeError(
+                    "decode ring overrun: this result's id buffer was "
+                    "reused — consume results within the reader's ring "
+                    "window, or read .sid earlier")
+            self._sid = v.sids[self._b]
+        return self._sid
 
     @property
     def sequence_length(self):
@@ -495,13 +514,14 @@ class BatchAssembler:
         self.mesh = mesh
         self._op_steps = {}
         self.need_p = bool(need_p)
-        # host-only candidate search: None = decide lazily at first
-        # dispatch (PANDASEQ_TPU_HOST env override, else auto: skip the
-        # device when jax would run the kernel on CPU XLA — the native
-        # host twin psq_cand_mask is ~40x faster there). host_only=True
-        # forces it for this instance (the accelerator-vs-host A/B in
-        # bench.py measures both sides in the same weather window).
-        self._host_only = True if host_only else host_only
+        # host-only candidate search, tri-state: None = decide lazily
+        # at first dispatch (PANDASEQ_TPU_HOST env override, else auto:
+        # skip the device when jax would run the kernel on CPU XLA —
+        # the native host twin psq_cand_mask is ~40x faster there);
+        # True = force host for this instance (the accelerator-vs-host
+        # A/B in bench.py measures both sides in the same weather
+        # window); False = pin the device path, overriding env + auto.
+        self._host_only = host_only
         algo = self.cfg.algorithm
         name = algo.name
         self._custom = name not in ("simple_bayesian", "uparse", "pear",
@@ -1239,9 +1259,13 @@ class BatchAssembler:
     def _results_from_native(self, st, r):
         """General (library) path: lazy columnar NativeResult views +
         vectorized threshold/module verdicts and counter updates
-        (assembler.c:301-348 semantics). post_primers configs keep the
-        eager per-row loop (they mutate result fields in place)."""
-        if self.cfg.post_primers:
+        (assembler.c:301-348 semantics). post_primers configs and
+        scalar-check custom modules keep the eager per-row loop — both
+        may mutate result fields in place, which the lazy views don't
+        support."""
+        if self.cfg.post_primers or any(
+                m.check is not None and m.check_batch is None
+                for m in self.modules):
             return self._results_from_native_eager(st, r)
         c = self.counters
         codes = r["codes"]
@@ -1266,18 +1290,12 @@ class BatchAssembler:
         for mod in self.modules:
             if not sel.any():
                 break
-            if mod.check_batch is not None:
-                if bview is None:
-                    bview = ResultBatchView(st, r, self._ptbl)
-                ok_mask = np.asarray(mod.check_batch(bview, sel))
-                rej = sel & ~ok_mask
-            elif mod.check is not None:
-                rej = np.zeros(B, dtype=bool)
-                for b in np.flatnonzero(sel):
-                    if not mod.check(NativeResult(rows, b)):
-                        rej[b] = True
-            else:
+            if mod.check_batch is None:  # precheck-only module
                 continue
+            if bview is None:
+                bview = ResultBatchView(st, r, self._ptbl)
+            ok_mask = np.asarray(mod.check_batch(bview, sel))
+            rej = sel & ~ok_mask
             nrej = int(rej.sum())
             if nrej:
                 mod.rejected += nrej

@@ -408,11 +408,15 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                 detail = c.debug_flags & (stats.DEBUG_KMER
                                           | stats.DEBUG_RECON
                                           | stats.DEBUG_MISMATCH)
+                # ring must cover prefetch(4+1) + dispatch group +
+                # pipeline depth(6+1) + finalize futs(~4) in-flight
+                # batches (the engine hard-fails on overrun)
+                group = int(os.environ.get("PANDASEQ_TPU_GROUP", "4"))
                 native_reader = native.NativeBatchReader(
                     c.fwd_file, c.rev_file, qualmin=c.qualmin,
                     policy=c.policy, batch=c.batch, L=512,
                     index_path=c.index_file,
-                    ring=0 if detail else 24)
+                    ring=0 if detail else 20 + group)
         except (OSError, RuntimeError):
             native_reader = None
     if native_reader is None:
@@ -527,7 +531,8 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
         # the prefetch thread, overlapped with device dispatch; group
         # stacks 4 batches per device call to amortize the wire's
         # fixed per-dispatch floor (grouping is a no-op in host-only
-        # mode, where _dispatch_group falls back per batch)
+        # mode, where _dispatch_group falls back per batch). The
+        # decode ring above is sized for this group value.
         group = int(os.environ.get("PANDASEQ_TPU_GROUP", "4"))
         for pairs, codes, payload, extras in asm.emit_stream(
                 prefetch(asm.pre_stream(batches())), fmt=emit_fmt,

@@ -604,3 +604,11 @@ class NativeBatchReader:
         if self.h is not None:
             self.lib.psq_close(self.h)
             self.h = None
+
+    def __del__(self):
+        # abandoned readers (e.g. a cancelled prefetch wrapping an
+        # aborted bench window) must release the native stream handle
+        try:
+            self.close()
+        except Exception:
+            pass

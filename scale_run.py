@@ -218,7 +218,7 @@ def main():
         json.dump(out, fh, indent=1)
     ok = all(m["output_identical"] and m["global_stat_identical"]
              for m in out.values() if isinstance(m, dict))
-    s = out["striped"]
+    s = out.get("striped") or out["mux_shared_stream"]
     print(json.dumps({
         "single_pairs_per_sec": s["single_pairs_per_sec"],
         "multi_aggregate_pairs_per_sec":

@@ -57,11 +57,13 @@ GROUP = int(os.environ.get("BENCH_GROUP", "4"))
 # budget, to one such window)
 ABORT_X = float(os.environ.get("BENCH_ABORT_X", "3.0"))
 # sampling budget for the TPU child's timed windows: the dev tunnel has
-# multi-minute 2-10x bandwidth brownouts, so passes are spread across
-# the budget and the best per config is the capability sample
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+# multi-minute 2-10x bandwidth brownouts AND hour-scale weather (whole
+# runs 30% apart), so passes are spread across the budget and the best
+# per config is the capability sample; 900 s of windows still fits the
+# 2400 s parent deadline with warmup + one retry
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "18"))
-MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "6"))
+MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "8"))
 # parent-side limits
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
 # Watchdog budgets. The child heartbeats from a daemon thread every

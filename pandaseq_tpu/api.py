@@ -292,7 +292,10 @@ class Assembler:
                     if chunk:
                         yield chunk
             batches = gen()
-        for pairs, results in engine.assemble_stream(batches):
+        import os as _os
+        group = int(_os.environ.get("PANDASEQ_TPU_GROUP", "4"))
+        for pairs, results in engine.assemble_stream(batches,
+                                                     group=group):
             for pair, (code, res) in zip(pairs, results):
                 if code == "OK":
                     yield res

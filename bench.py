@@ -42,10 +42,10 @@ REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
 BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 12)))
-# 10 with grouping (was 6): grouped dispatch bursts GROUP batches at a
-# time, so the pipeline needs >= 2*GROUP batches in flight to keep the
-# wire busy between bursts (A/B sweep: depth 10-14 beat 6 with group 4)
-DEPTH = int(os.environ.get("BENCH_DEPTH", "10"))
+# 14 with grouping (was 6): grouped dispatch bursts GROUP batches at a
+# time, so the pipeline needs >= 3*GROUP batches in flight to keep the
+# wire busy between bursts (A/B sweeps: depth 14 >= 10 >> 6 at group 4)
+DEPTH = int(os.environ.get("BENCH_DEPTH", "14"))
 # mega-dispatch: stack GROUP decoded batches into one device call —
 # the tunnel charges a fixed ~25-35 ms floor per dispatch (measured
 # serial B=16384: 90.6 ms vs B=65536: 286 ms => floor ~30 ms), so
@@ -206,7 +206,7 @@ def _child_configs(files):
             yield from native.NativeBatchReader(f1, f2, policy="PRESENT",
                                                 batch=BATCH, L=512,
                                                 ring=2 * DEPTH + GROUP
-                                                + 10)
+                                                + 14)
         return batches
 
     def mk(cfg=None, modules=(), host_only=None):

@@ -864,7 +864,11 @@ class BatchAssembler:
         """The jit call itself on already-built host arrays."""
         cfg = self.cfg
         if sparse:
-            out = self._fused2.assemble_candidates_packed4(
+            # candidate LIST download (16 B/pair vs the mask's 32): the
+            # wire is half-duplex, so the smaller fetch buys headline
+            # throughput; _finalize rebuilds the mask and routes
+            # count > C rows through the exact host twin
+            out = self._fused2.assemble_candidates_list_packed4(
                 plane, flen, rlen, L=Lb, O=O, num_kmers=cfg.num_kmers)
         else:
             common = dict(
@@ -938,6 +942,8 @@ class BatchAssembler:
         if use_op:
             return self._dispatch_op(st, batch, lambda a: self._cut(a, Lb),
                                      sparse, inputs, fo32, ro32)
+        if sparse:
+            st["cand_list"] = True  # _launch ships the list download
         return self._launch(sparse, lut, *inputs, fo32, ro32, Lb, st["O"])
 
     def _dispatch_group(self, sts):
@@ -962,6 +968,8 @@ class BatchAssembler:
         planes, flens, rlens, fos, ros = [], [], [], [], []
         for st in sts:
             st["plane_kind"] = 1 if sparse else 0
+            if sparse:
+                st["cand_list"] = True
             planes.append(self._sparse_plane(st) if sparse
                           else self._dense_plane(st, lut))
             flens.append(st["batch"].flen)
@@ -1034,6 +1042,37 @@ class BatchAssembler:
             batch.flen, batch.rlen, fo32, ro32))
         return step(*args)
 
+    def _mask_from_list(self, st, lst):
+        """Rebuild the [B, O//32] candidate bitmask from the device's
+        first-C candidate list ([B, C+2] int16: count, C ascending
+        offsets 0-padded, pad); rows whose true count exceeds C join
+        the hasN fixup set, whose masks the exact native twin
+        recomputes before selection."""
+        from .ops.fused2 import CAND_LIST_C as C
+        B = st["B"]
+        W = st["O"] // 32
+        lst = np.asarray(lst)
+        cnt = lst[:, 0].astype(np.int32)
+        mask = np.zeros((B, W), dtype=np.uint32)
+        flat = mask.reshape(-1)
+        rowbase = np.arange(B, dtype=np.int64) * W
+        for c in range(C):
+            k = lst[:, 1 + c].astype(np.int64) - 1
+            v = k >= 0
+            if not v.any():
+                break
+            kv = k[v]
+            # one entry per row within a column -> distinct flat
+            # indices, so the fancy-indexed |= is exact
+            flat[rowbase[v] + (kv >> 5)] |= \
+                np.uint32(1) << (kv & 31).astype(np.uint32)
+        over = np.flatnonzero(cnt > C)
+        if len(over):
+            rows = st.get("hasN_rows")
+            st["hasN_rows"] = over if rows is None or not len(rows) \
+                else np.union1d(rows, over)
+        return mask.view(np.int32)
+
     def _resolve_fallbacks(self, st, plane):
         """Pairs the shortlist cannot decide exactly (n_band > SL) — or
         every pair, for custom algorithms (whose plane may be a
@@ -1095,6 +1134,8 @@ class BatchAssembler:
         pk = st.get("plane_kind", 0)
         if pk:
             B = st["B"]
+            if st.get("cand_list"):
+                plane = self._mask_from_list(st, plane)
             rows = st.get("hasN_rows")
             if rows is not None and len(rows):
                 # the 4-bit upload dropped the N planes; recompute

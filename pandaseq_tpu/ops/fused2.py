@@ -616,6 +616,58 @@ def assemble_candidates_nt(nt_pack, flen, rlen, *, L: int,
     return pack_bits16(candc != 0, O)
 
 
+CAND_LIST_C = 6  # first-C candidate offsets shipped; count > C -> host
+
+
+@functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers", "C"))
+def assemble_candidates_list_packed4(plane4, flen, rlen, *, L: int,
+                                     O: int | None = None,
+                                     num_kmers: int = 2,
+                                     C: int = CAND_LIST_C):
+    """assemble_candidates_packed4 shipping a candidate LIST instead of
+    the bitmask: [B, C+2] int16 rows = [count, first C offsets
+    ascending (0-padded), 0]. 16 B/pair at C=6 vs the mask's 32 B at
+    O=256 — the device->host wire is half-duplex with the upload, so
+    halving the download buys real headline throughput. Rows with
+    count > C (0.01% on MiSeq-like data: mean distinct candidates is
+    ~1.3 at k=2, 16-bit k-mer collisions add ~1) are recomputed exactly
+    on host via psq_cand_mask — the same fixup channel hasN rows
+    already ride, so the engine's exactness contract is unchanged."""
+    if O is None:
+        O = L
+    assert O <= 1024  # offsets must fit int16; overflow O routes host
+    candc = _candc_packed4(plane4, flen, rlen, L, O, num_kmers)
+    present = candc != 0
+    cnt = jnp.sum(present, axis=1, dtype=jnp.int32)
+    big = jnp.int32(1) << 20
+    offs = jnp.where(present,
+                     jnp.arange(1, O + 1, dtype=jnp.int32)[None, :], big)
+    so = jax.lax.sort(offs, dimension=1)[:, :C]
+    so = jnp.where(so >= big, 0, so)
+    B = candc.shape[0]
+    out = jnp.concatenate(
+        [cnt[:, None], so, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    return out.astype(jnp.int16)
+
+
+def _candc_packed4(plane4, flen, rlen, L, O, num_kmers):
+    """Shared candidate-count plane from the 4-bit packed upload."""
+    assert L % 8 == 0, L
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    q = L // 4
+    p32 = plane4.astype(jnp.int32) & 0xFF
+    unpack2 = lambda w: jnp.concatenate(
+        [(w >> (2 * t)) & 3 for t in range(4)], axis=1)  # [B, L]
+    cf = unpack2(p32[:, :q])
+    cr = unpack2(p32[:, q:2 * q])
+    nonn = jnp.ones(cf.shape, dtype=bool)
+    Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
+                                 L, num_kmers)
+    (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
+    return plane_cand(Fkm, Rkm, O)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers"))
 def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
                                 O: int | None = None, num_kmers: int = 2):

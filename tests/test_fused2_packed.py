@@ -153,3 +153,34 @@ def test_cand_mask_join_matches_matmul_twin():
             jnp.asarray(cf), nonn, jnp.asarray(cr), nonn, flen, rlen,
             L, O, nk))
         np.testing.assert_array_equal(got, ref, err_msg=f"nk={nk} L={L}")
+
+
+def test_cand_list_matches_mask_including_overflow():
+    """The candidate-list download ([count, first C offsets]) must
+    agree with the bitmask kernel, including rows whose count exceeds
+    C (low-entropy reads: every k-mer equal -> candidates on many
+    diagonals), which the engine recomputes host-side."""
+    from pandaseq_tpu.ops import fused2
+
+    C = fused2.CAND_LIST_C
+    L = O = 128
+    B = 32
+    rng = np.random.default_rng(5)
+    # half the rows poly-'C' (2-bit code 1 everywhere): every forward
+    # k-mer equals every reverse k-mer -> dozens of candidate diagonals
+    plane4 = rng.integers(-128, 128, size=(B, 2 * L // 4), dtype=np.int8)
+    plane4[:B // 2] = 0b01010101
+    flen = np.full(B, 120, np.int32)
+    rlen = np.full(B, 120, np.int32)
+    mask = np.asarray(fused2.assemble_candidates_packed4(
+        plane4, flen, rlen, L=L, O=O, num_kmers=2))
+    lst = np.asarray(fused2.assemble_candidates_list_packed4(
+        plane4, flen, rlen, L=L, O=O, num_kmers=2))
+    cnt_true = np.bitwise_count(mask.view(np.uint32)).sum(axis=1)
+    assert (cnt_true[:B // 2] > C).all()  # overflow regime exercised
+    np.testing.assert_array_equal(lst[:, 0].astype(np.int64), cnt_true)
+    for b in range(B):
+        bits = np.flatnonzero(np.unpackbits(
+            mask[b].view(np.uint8), bitorder="little")) + 1
+        want = list(bits[:C]) + [0] * (C - min(C, len(bits)))
+        assert list(lst[b, 1:1 + C]) == want, b

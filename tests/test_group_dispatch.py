@@ -91,3 +91,53 @@ def test_group_assemble_stream_threaded():
                 for code, r in results)
         outs.append(res)
     assert outs[0] == outs[1]
+
+
+def test_low_entropy_overflow_rows_match_host():
+    """Rows whose candidate count exceeds the device list width must be
+    recomputed exactly on host (the hasN fixup channel): low-entropy
+    poly-C reads produce dozens of candidate diagonals per pair."""
+    import numpy as np
+
+    from pandaseq_tpu import oracle
+    from pandaseq_tpu.assembler import BatchAssembler
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    onehot = {"A": 1, "C": 2, "G": 4, "T": 8}
+    rng = np.random.RandomState(9)
+
+    class P:
+        pass
+
+    pairs = []
+    for k in range(64):
+        n = 100
+        # poly-C with sparse random substitutions: highly repetitive
+        fwd = np.full(n, onehot["C"], dtype=np.int8)
+        rev = np.full(n, onehot["G"], dtype=np.int8)  # raw rev: comp C
+        for _ in range(6):
+            fwd[rng.randint(n)] = [1, 4, 8][rng.randint(3)]
+            rev[rng.randint(n)] = [1, 2, 8][rng.randint(3)]
+        p = P()
+        p.fwd_nt, p.rev_nt = fwd, rev
+        p.fwd_q = rng.randint(20, 41, size=n).astype(np.int8)
+        p.rev_q = rng.randint(20, 41, size=n).astype(np.int8)
+        p.flen = p.rlen = n
+        p.sid = "lo%d" % k
+        pairs.append(p)
+
+    def run(host_only):
+        asm = BatchAssembler(oracle.OracleConfig(), L=512,
+                             host_only=host_only)
+        out = []
+        for _, codes, pay in asm.emit_stream(iter([pairs]), fmt="fasta",
+                                             depth=1):
+            out.append((codes, pay))
+        return out, asm.counters
+
+    od, cd = run(False)   # device path: list download + overflow fixup
+    oh, ch = run(True)    # exact host twin end to end
+    assert od == oh
+    assert (cd.ok, cd.noalgn, cd.lowq, cd.slow, cd.overlaps) == \
+        (ch.ok, ch.noalgn, ch.lowq, ch.slow, ch.overlaps)

@@ -155,9 +155,11 @@ class Config:
         self.debug_flags = stats.DEBUG_DEFAULT
         self.minlen = None
         self.maxlen = None
-        # 4096-pair batches amortize per-dispatch latency; override via
-        # PANDASEQ_TPU_BATCH (the device step scales monotonically in B)
-        self.batch = int(os.environ.get("PANDASEQ_TPU_BATCH", "4096"))
+        # 8192-pair batches x dispatch group 4 = 32768 pairs per device
+        # call, amortizing the wire's fixed per-dispatch floor; override
+        # via PANDASEQ_TPU_BATCH (the device step scales monotonically
+        # in B; decode ring memory scales with it, ~0.6 GB at 8192)
+        self.batch = int(os.environ.get("PANDASEQ_TPU_BATCH", "8192"))
 
 
 def parse_args(argv, prog="pandaseq"):
@@ -409,14 +411,15 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
                                           | stats.DEBUG_RECON
                                           | stats.DEBUG_MISMATCH)
                 # ring must cover prefetch(4+1) + dispatch group +
-                # pipeline depth(6+1) + finalize futs(~4) in-flight
+                # pipeline depth(+1) + finalize futs(~4) in-flight
                 # batches (the engine hard-fails on overrun)
                 group = int(os.environ.get("PANDASEQ_TPU_GROUP", "4"))
+                depth = int(os.environ.get("PANDASEQ_TPU_DEPTH", "10"))
                 native_reader = native.NativeBatchReader(
                     c.fwd_file, c.rev_file, qualmin=c.qualmin,
                     policy=c.policy, batch=c.batch, L=512,
                     index_path=c.index_file,
-                    ring=0 if detail else 20 + group)
+                    ring=0 if detail else depth + group + 14)
         except (OSError, RuntimeError):
             native_reader = None
     if native_reader is None:
@@ -531,12 +534,16 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
         # the prefetch thread, overlapped with device dispatch; group
         # stacks 4 batches per device call to amortize the wire's
         # fixed per-dispatch floor (grouping is a no-op in host-only
-        # mode, where _dispatch_group falls back per batch). The
-        # decode ring above is sized for this group value.
+        # mode, where _dispatch_group falls back per batch); depth
+        # keeps >= 2*group batches in flight so the wire stays busy
+        # between grouped bursts. The decode ring above is sized for
+        # these values (PANDASEQ_TPU_GROUP / PANDASEQ_TPU_DEPTH).
         group = int(os.environ.get("PANDASEQ_TPU_GROUP", "4"))
+        depth = int(os.environ.get("PANDASEQ_TPU_DEPTH", "10"))
         for pairs, codes, payload, extras in asm.emit_stream(
                 prefetch(asm.pre_stream(batches())), fmt=emit_fmt,
-                with_extras=True, depth=6, threaded=True, group=group):
+                with_extras=True, depth=depth, threaded=True,
+                group=group):
             out_stream.write(payload)
             overlaps = extras["overlap"]
             scored = extras["scored"]

@@ -607,11 +607,11 @@ def main():
     out["accel_vs_host_dense"] = (round(cdense / chost, 3)
                                   if cdense and chost else None)
     # wire self-diagnosis: the sparse headline ships 128 B/pair up
-    # (2-bit codes) + 16 B/pair down (candidate list); the tunnel
+    # (2-bit codes) + 12 B/pair down (candidate list); the tunnel
     # saturates ~41-45 MB/s half-duplex with a ~30 ms dispatch floor
     # (docs/PERF.md), so the effective wire rate explains the headline
-    out["wire_bytes_per_pair"] = 144
-    out["effective_wire_MBps"] = (round(value * 144 / 1e6, 1)
+    out["wire_bytes_per_pair"] = 140
+    out["effective_wire_MBps"] = (round(value * 140 / 1e6, 1)
                                   if value else None)
     print(json.dumps(out))
 

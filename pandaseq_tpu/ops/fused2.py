@@ -616,7 +616,11 @@ def assemble_candidates_nt(nt_pack, flen, rlen, *, L: int,
     return pack_bits16(candc != 0, O)
 
 
-CAND_LIST_C = 6  # first-C candidate offsets shipped; count > C -> host
+# first-C candidate offsets shipped; count > C rows recompute on host.
+# C=4: [B, 6] int16 = 12 B/pair, covers 99.67% of 2x250 MiSeq-like rows
+# (mean distinct candidates 1.33); the host twin absorbs the rest at
+# ~5.5 ms/batch even if EVERY row overflowed, so there is no cliff
+CAND_LIST_C = 4
 
 
 @functools.partial(jax.jit, static_argnames=("L", "O", "num_kmers", "C"))
@@ -626,10 +630,10 @@ def assemble_candidates_list_packed4(plane4, flen, rlen, *, L: int,
                                      C: int = CAND_LIST_C):
     """assemble_candidates_packed4 shipping a candidate LIST instead of
     the bitmask: [B, C+2] int16 rows = [count, first C offsets
-    ascending (0-padded), 0]. 16 B/pair at C=6 vs the mask's 32 B at
+    ascending (0-padded), 0]. 12 B/pair at C=4 vs the mask's 32 B at
     O=256 — the device->host wire is half-duplex with the upload, so
     halving the download buys real headline throughput. Rows with
-    count > C (0.01% on MiSeq-like data: mean distinct candidates is
+    count > C (0.33% on MiSeq-like data: mean distinct candidates is
     ~1.3 at k=2, 16-bit k-mer collisions add ~1) are recomputed exactly
     on host via psq_cand_mask — the same fixup channel hasN rows
     already ride, so the engine's exactness contract is unchanged."""

@@ -21,7 +21,7 @@ Two MFU-style figures are reported:
   - kernel_compute_ms / mfu_compute_pct: device-resident compute,
     measured by looping the kernel inside one jit via lax.fori_loop
     over a 2-way dynamic_slice input (so XLA cannot hoist it) and
-    taking the K=1 vs K=9 slope.
+    taking the K=1 vs K=17 slope (min-of-5).
 """
 
 from __future__ import annotations
@@ -276,10 +276,12 @@ def _kernel_kslope(st):
             def body(k, acc):
                 p = jax.lax.dynamic_slice_in_dim(
                     stk, k % 2, 1, axis=0)[0]
-                out = fused2.assemble_candidates_packed4(
+                # the PRODUCTION sparse kernel (list download variant)
+                out = fused2.assemble_candidates_list_packed4(
                     p, fl, rl, L=L, O=O, num_kmers=nk)
                 return jnp.bitwise_xor(acc, out)
-            z = jnp.zeros((plane4.shape[0], O // 32), dtype=jnp.int32)
+            z = jnp.zeros((plane4.shape[0], fused2.CAND_LIST_C + 2),
+                          dtype=jnp.int16)
             return jax.lax.fori_loop(0, K, body, z)
         np.asarray(f(stacked, flen, rlen))  # compile + warm
         ts = []

@@ -565,6 +565,10 @@ class BatchAssembler:
             33 + result_phred(self._ptbl), np.uint8)
         self._payload_buf = None
         self._arrays_buf = None  # reused want_arrays ascii/pidx planes
+        # sparse download format: candidate LIST (default, 12 B/pair)
+        # vs bitmask (32 B/pair; forced by the PANDASEQ_TPU_JOIN
+        # alternate-kernel opt-in, whose kernel emits masks)
+        self._cand_list = not os.environ.get("PANDASEQ_TPU_JOIN")
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
@@ -864,12 +868,21 @@ class BatchAssembler:
         """The jit call itself on already-built host arrays."""
         cfg = self.cfg
         if sparse:
-            # candidate LIST download (16 B/pair vs the mask's 32): the
-            # wire is half-duplex, so the smaller fetch buys headline
-            # throughput; _finalize rebuilds the mask and routes
-            # count > C rows through the exact host twin
-            out = self._fused2.assemble_candidates_list_packed4(
-                plane, flen, rlen, L=Lb, O=O, num_kmers=cfg.num_kmers)
+            if not self._cand_list:
+                # opt-in alternate kernel: mask download via the
+                # gather-free sorted join (see fused2.cand_mask_join,
+                # PANDASEQ_TPU_JOIN)
+                out = self._fused2.assemble_candidates_packed4(
+                    plane, flen, rlen, L=Lb, O=O,
+                    num_kmers=cfg.num_kmers)
+            else:
+                # candidate LIST download (12 B/pair vs the mask's 32):
+                # the wire is half-duplex, so the smaller fetch buys
+                # headline throughput; _finalize rebuilds the mask and
+                # routes count > C rows through the exact host twin
+                out = self._fused2.assemble_candidates_list_packed4(
+                    plane, flen, rlen, L=Lb, O=O,
+                    num_kmers=cfg.num_kmers)
         else:
             common = dict(
                 L=Lb, O=O, SL=self.SL, minoverlap=cfg.minoverlap,
@@ -942,7 +955,7 @@ class BatchAssembler:
         if use_op:
             return self._dispatch_op(st, batch, lambda a: self._cut(a, Lb),
                                      sparse, inputs, fo32, ro32)
-        if sparse:
+        if sparse and self._cand_list:
             st["cand_list"] = True  # _launch ships the list download
         return self._launch(sparse, lut, *inputs, fo32, ro32, Lb, st["O"])
 
@@ -968,7 +981,7 @@ class BatchAssembler:
         planes, flens, rlens, fos, ros = [], [], [], [], []
         for st in sts:
             st["plane_kind"] = 1 if sparse else 0
-            if sparse:
+            if sparse and self._cand_list:
                 st["cand_list"] = True
             planes.append(self._sparse_plane(st) if sparse
                           else self._dense_plane(st, lut))
@@ -1134,8 +1147,10 @@ class BatchAssembler:
         pk = st.get("plane_kind", 0)
         if pk:
             B = st["B"]
+            writable = False
             if st.get("cand_list"):
-                plane = self._mask_from_list(st, plane)
+                plane = self._mask_from_list(st, plane)  # fresh array
+                writable = True
             rows = st.get("hasN_rows")
             if rows is not None and len(rows):
                 # the 4-bit upload dropped the N planes; recompute
@@ -1144,7 +1159,8 @@ class BatchAssembler:
                                         self.cfg.num_kmers, st["O"],
                                         faithful=st.get("cand_faithful",
                                                         False))
-                plane = np.array(plane)  # writable copy
+                if not writable:
+                    plane = np.array(plane)  # writable copy
                 plane[rows] = fix
             if self._custom:
                 # custom algorithms on the mask path (the O-overflow

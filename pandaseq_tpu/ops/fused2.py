@@ -654,18 +654,25 @@ def assemble_candidates_list_packed4(plane4, flen, rlen, *, L: int,
     return out.astype(jnp.int16)
 
 
-def _candc_packed4(plane4, flen, rlen, L, O, num_kmers):
-    """Shared candidate-count plane from the 4-bit packed upload."""
+def _unpack2bit(plane4, L):
+    """(cf, cr, nonn): 2-bit k-mer codes + all-True non-N masks from
+    the 4-bit packed upload plane (psq_pack4 layout)."""
     assert L % 8 == 0, L
-    flen = flen.astype(jnp.int32)
-    rlen = rlen.astype(jnp.int32)
     q = L // 4
     p32 = plane4.astype(jnp.int32) & 0xFF
     unpack2 = lambda w: jnp.concatenate(
         [(w >> (2 * t)) & 3 for t in range(4)], axis=1)  # [B, L]
     cf = unpack2(p32[:, :q])
     cr = unpack2(p32[:, q:2 * q])
-    nonn = jnp.ones(cf.shape, dtype=bool)
+    return cf, cr, jnp.ones(cf.shape, dtype=bool)
+
+
+def _candc_packed4(plane4, flen, rlen, L, O, num_kmers):
+    """Shared candidate-count plane from the 4-bit packed upload —
+    the single implementation both the mask and list kernels wrap."""
+    flen = flen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    cf, cr, nonn = _unpack2bit(plane4, L)
     Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
                                  L, num_kmers)
     (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
@@ -683,16 +690,6 @@ def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
     result."""
     if O is None:
         O = L
-    assert L % 8 == 0, L
-    flen = flen.astype(jnp.int32)
-    rlen = rlen.astype(jnp.int32)
-    q = L // 4
-    p32 = plane4.astype(jnp.int32) & 0xFF
-    unpack2 = lambda w: jnp.concatenate(
-        [(w >> (2 * t)) & 3 for t in range(4)], axis=1)  # [B, L]
-    cf = unpack2(p32[:, :q])
-    cr = unpack2(p32[:, q:2 * q])
-    nonn = jnp.ones(cf.shape, dtype=bool)
     if num_kmers <= 2 and os.environ.get("PANDASEQ_TPU_JOIN"):
         # alternate sorted-join kernel (opt-in): O(L log L)/pair vs the
         # matmul's O(L*O^2). On v5e at L=O=256 the MXU matmul still
@@ -701,12 +698,11 @@ def assemble_candidates_packed4(plane4, flen, rlen, *, L: int,
         # the VPU), so the matmul stays default — the join is kept
         # exactness-tested for sizes/hardware where the O(L^3) work
         # ratio flips the balance
-        return cand_mask_join(cf, nonn, cr, nonn, flen, rlen, L, O,
-                              num_kmers)
-    Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn, flen, rlen,
-                                 L, num_kmers)
-    (Fkm, Rkm) = jax.lax.optimization_barrier((Fkm, Rkm))
-    candc = plane_cand(Fkm, Rkm, O)
+        cf, cr, nonn = _unpack2bit(plane4, L)
+        return cand_mask_join(cf, nonn, cr, nonn,
+                              flen.astype(jnp.int32),
+                              rlen.astype(jnp.int32), L, O, num_kmers)
+    candc = _candc_packed4(plane4, flen, rlen, L, O, num_kmers)
     return pack_bits16(candc != 0, O)
 
 

@@ -4,6 +4,12 @@ three-argument assemble_shortlist bit-for-bit."""
 
 import numpy as np
 
+
+def _popcount_rows(mask):
+    """Per-row set-bit count (numpy<2 lacks np.bitwise_count)."""
+    return np.unpackbits(mask.view(np.uint8), axis=1).sum(axis=1)
+
+
 from pandaseq_tpu.ops import fused2
 from pandaseq_tpu import tables
 
@@ -176,7 +182,7 @@ def test_cand_list_matches_mask_including_overflow():
         plane4, flen, rlen, L=L, O=O, num_kmers=2))
     lst = np.asarray(fused2.assemble_candidates_list_packed4(
         plane4, flen, rlen, L=L, O=O, num_kmers=2))
-    cnt_true = np.bitwise_count(mask.view(np.uint32)).sum(axis=1)
+    cnt_true = _popcount_rows(mask)
     assert (cnt_true[:B // 2] > C).all()  # overflow regime exercised
     np.testing.assert_array_equal(lst[:, 0].astype(np.int64), cnt_true)
     for b in range(B):

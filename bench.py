@@ -454,6 +454,16 @@ def tpu_child(out_path):
             windows_ok += 1
         if time.perf_counter() < end:
             time.sleep(WINDOW_GAP_S)
+    # capability re-sample of the device-resident kernel time: the
+    # early measurement can land in a throttled window (same-day spread
+    # 2x observed); keep the best of start/end
+    try:
+        kms2, kmfu2 = _kernel_kslope(st)
+        if kms2 < state.get("kernel_compute_ms", 1e9):
+            state["kernel_compute_ms"] = round(kms2, 2)
+            state["mfu_compute_pct"] = round(kmfu2, 2)
+    except Exception as e:
+        log(f"K-slope re-measure failed (non-fatal): {e!r}")
     state["windows_ok"] = windows_ok
     state["done"] = True
     _write_json(out_path, state)

@@ -101,9 +101,14 @@ def ensure_data(prefix, seed, extra=()):
 
 
 def _data_files():
-    plain = ensure_data("bench", 7)
-    primed = ensure_data("benchp", 23, ("--fwd-primer", FWD_PRIMER,
-                                        "--rev-primer", REV_PRIMER))
+    # non-default sizes (smoke tests, experiments) get their own file
+    # pairs: a small smoke run must never truncate the standard dataset
+    # out from under a concurrent full run
+    suf = "" if N_PAIRS == 196608 else "_%d" % N_PAIRS
+    plain = ensure_data("bench" + suf, 7)
+    primed = ensure_data("benchp" + suf, 23,
+                         ("--fwd-primer", FWD_PRIMER,
+                          "--rev-primer", REV_PRIMER))
     return plain, primed
 
 

@@ -143,23 +143,31 @@ def kmer_frames_codes(cf, nonn_f, cr, nonn_r, flen, rlen, L, num_kmers):
         # within one kmer's run ascending key order IS raw order, and
         # rank = index - run_start. Two [B, L] sorts replace the old
         # [B, L, L] pairwise plane (whose HBM materialization, not the
-        # candidate matmul, dominated the kernel).
+        # candidate matmul, dominated the kernel). Both sorts are
+        # SINGLE-key: a payload channel roughly triples a [B, L] sort's
+        # cost on TPU (docs/PERF.md "TPU kernel lore"), and neither is
+        # needed — the first key already contains the position (low 10
+        # bits), and the inverse permutation packs the stored bit into
+        # bit 0 of a position-keyed int32.
         assert L <= 1024
         big = jnp.int32(1) << 27  # > any (kmer << 10 | pos) key
         key = jnp.where(emit_f, (kf << 10) | (L - 1 - pos), big + pos)
-        posb = jnp.broadcast_to(pos, key.shape).astype(jnp.int32)
-        sk, sp = jax.lax.sort((key, posb), dimension=1, num_keys=1)
+        sk = jax.lax.sort(key, dimension=1)
         idx = jnp.arange(L, dtype=jnp.int32)[None, :]
         run_start = jnp.concatenate(
             [jnp.ones(sk[:, :1].shape, bool),
              (sk[:, 1:] >> 10) != (sk[:, :-1] >> 10)], axis=1)
         seg_start = jax.lax.cummax(jnp.where(run_start, idx, 0), axis=1)
         stored_sorted = ((idx - seg_start) < num_kmers) & (sk < big)
-        # invert the permutation: stable sort by original position
-        _, stored_i = jax.lax.sort(
-            (sp, stored_sorted.astype(jnp.int32)), dimension=1,
-            num_keys=1)
-        stored_f = stored_i.astype(bool)
+        # original frame position, recovered from the key itself
+        pos_orig = jnp.where(sk < big, (L - 1) - (sk & 1023), sk - big)
+        # invert the permutation: each position occurs exactly once, so
+        # sorting (pos << 1 | stored) leaves row j at index j, bit 0 =
+        # stored flag
+        sk2 = jax.lax.sort(
+            (pos_orig << 1) | stored_sorted.astype(jnp.int32),
+            dimension=1)
+        stored_f = (sk2 & 1) == 1
     Fkm = jnp.where(stored_f, kf, -1)
     Rkm = jnp.where(emit_r, kr, -2)
     return Fkm, Rkm

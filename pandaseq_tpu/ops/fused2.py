@@ -572,12 +572,55 @@ def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
     nor the N planes (selection math runs on host)."""
     if Oj is None:
         Oj = O
+    if isinstance(j0, int) and j0 == 0 and Oj == O:
+        # static full-plane case (the single-chip production path;
+        # the op-sharded mesh passes a traced per-shard j0)
+        pall = os.environ.get("PANDASEQ_TPU_PALLAS")
+        if pall and O % 128 == 0:
+            from . import pallas_cand
+            return pallas_cand.plane_cand_pallas(
+                Fkm, Rkm, O, interpret=(pall == "interpret"))
+        return _plane_cand_tri(Fkm, Rkm, O)
     sl = lambda x: jax.lax.dynamic_slice_in_dim(x, j0, Oj, axis=1)
     kq = (sl(Fkm)[:, :, None] == Rkm[:, None, :O]).astype(jnp.int8)
     T3 = _diag_t3(O, j0, Oj, jnp.int8)
     return jax.lax.dot_general(
         kq, T3, (((1, 2), (0, 1)), ((), ())),
         preferred_element_type=jnp.int32)  # [B, O]
+
+
+def _plane_cand_tri(Fkm, Rkm, O, nb=4):
+    """plane_cand for the static j0=0, Oj=O case, blocked along the
+    stored-frame axis j into ``nb`` chunks so each dot only spans the
+    LIVE part of the triangle: diagonals t = j + i stop mattering at
+    t >= O (overlap o = t+1 <= O, assembler.c:84-118), so chunk c
+    (j in [c*w, (c+1)*w)) needs only i < O - c*w and writes only the
+    band t in [c*w, O). MACs drop to sum_c w*(O-c*w)^2 ~ 47% of the
+    dense B*O^3 at nb=4, and — the real win on v5e, where the dense
+    kernel is HBM-bound — the materialized kq equality plane shrinks
+    to (nb+1)/(2*nb) of [B, O, O] int8. Exactly equal to the dense
+    product: every dropped MAC is provably zero."""
+    if O % nb:
+        nb = 2 if O % 2 == 0 else 1
+    B = Fkm.shape[0]
+    w = O // nb
+    acc = jnp.zeros((B, O), jnp.int32)
+    for c in range(nb):
+        jc = c * w
+        iw = O - jc
+        kq = (Fkm[:, jc:jc + w, None] == Rkm[:, None, :iw]).astype(
+            jnp.int8)
+        # T3c[jl, i, d'] = 1 iff jl + i == d', band output width iw,
+        # global diagonal d = jc + d'
+        jl = jnp.arange(w, dtype=jnp.int32)[:, None, None]
+        i = jnp.arange(iw, dtype=jnp.int32)[None, :, None]
+        d = jnp.arange(iw, dtype=jnp.int32)[None, None, :]
+        T3c = ((jl + i) == d).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            kq, T3c, (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32)  # [B, iw]
+        acc = acc + jnp.pad(part, ((0, 0), (jc, 0)))
+    return acc
 
 
 def pack_bits16(nz, O):

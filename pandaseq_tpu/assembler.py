@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -348,6 +349,53 @@ class _SliceView:
         return out
 
 
+class _FutureArray:
+    """Lazy stolen-batch result: np.asarray waits for the host-twin
+    worker (mirrors _SliceView's contract for device results)."""
+
+    __slots__ = ("_fut",)
+
+    def __init__(self, fut):
+        self._fut = fut
+
+    def __array__(self, dtype=None, copy=None):
+        out = self._fut.result()
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        return out
+
+
+class _HostStealer:
+    """One-thread executor for work-stolen candidate-twin groups.
+    idle() is the steal gate: at most one stolen group is ever in
+    flight, so the twin's own (contention-inflated) service time
+    self-limits the steal rate — if the 4 cores are already saturated
+    by decode/finalize, the twin runs slow and steals become rare."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self.ex = ThreadPoolExecutor(1)
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def idle(self):
+        return self._n == 0
+
+    def submit(self, fn, *a):
+        with self._lock:
+            self._n += 1
+        fut = self.ex.submit(fn, *a)
+
+        def _done(_f):
+            with self._lock:
+                self._n -= 1
+        fut.add_done_callback(_done)
+        return fut
+
+    def shutdown(self):
+        self.ex.shutdown(wait=True)
+
+
 class _BatchResults:
     """Columnar backing shared by one batch's NativeResult rows."""
 
@@ -569,6 +617,7 @@ class BatchAssembler:
         # vs bitmask (32 B/pair; forced by the PANDASEQ_TPU_JOIN
         # alternate-kernel opt-in, whose kernel emits masks)
         self._cand_list = not os.environ.get("PANDASEQ_TPU_JOIN")
+        self._host_steals = 0  # batches work-stolen to the host twin
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
@@ -596,8 +645,27 @@ class BatchAssembler:
         q = deque()  # (st, dev) in flight on device
         futs = deque()
 
+        # hybrid work-steal (PANDASEQ_TPU_HYBRID: default adaptive,
+        # "0" off, "force" always-steal for tests): when the finalize
+        # worker is visibly behind — which on a wire-bound deployment
+        # means it is blocked in a device fetch — and the twin worker
+        # is idle, the next group's candidate masks are computed by
+        # the exact native host twin instead of the device, so spare
+        # host cores add throughput ON TOP of the saturated wire.
+        hyb = os.environ.get("PANDASEQ_TPU_HYBRID", "")
+        stealer = _HostStealer() if hyb != "0" else None
+
+        def route():
+            if stealer is None:
+                return False
+            if hyb == "force":
+                return True
+            return (stealer.idle() and len(futs) >= 2
+                    and not futs[0].done())
+
         try:
-            for st, dev in self._dispatch_stream(pair_batches, group):
+            for st, dev in self._dispatch_stream(pair_batches, group,
+                                                 route, stealer):
                 q.append((st, dev))
                 if len(q) > depth:
                     futs.append(ex.submit(fin, *q.popleft()))
@@ -616,6 +684,8 @@ class BatchAssembler:
                 except Exception:
                     pass
             ex.shutdown(wait=True)
+            if stealer is not None:
+                stealer.shutdown()
 
     def assemble_stream(self, pair_batches, depth: int = 3,
                         threaded: bool = False, group: int = 1):
@@ -1001,13 +1071,60 @@ class BatchAssembler:
             lo += st["B"]
         return views
 
-    def _dispatch_stream(self, pair_batches, group: int = 1):
+    def _host_route_ok(self, sts):
+        """Whether a group may be work-stolen to the host candidate
+        twin with bit-identical results: the sparse (candidate-mask)
+        path only — psq_cand_mask IS the exactness anchor those rows
+        already ride for hasN/overflow fixups. Mesh runs keep their
+        sharded dispatch; host-only runs are already all-host; k=0
+        stays on the device shortlist (the host scan is the
+        reference's own SLOW path)."""
+        if self.mesh is not None or not sts:
+            return False
+        if any(st["O_full"] > st["O"] for st in sts):
+            return False  # the widened-mask reroute handles these
+        sparse, _ = self._sparse_mode()
+        return (sparse and self.cfg.num_kmers >= 1
+                and not self._resolve_host_only())
+
+    def _dispatch_group_host(self, sts, stealer):
+        """Work-stolen group: every row's candidate mask from the
+        exact native twin (psq_cand_mask) on the stealer's thread —
+        no upload, no download, the wire stays free for the device
+        groups in flight. Reads the full nt planes (N bases included),
+        so no hasN fixup is needed; num_kmers >= 3 uses the faithful
+        kmerseen simulation, same as the device path's fixup rows."""
+        from .io import native as _native
+        k = self.cfg.num_kmers
+        outs = []
+        for st in sts:
+            st["plane_kind"] = 1
+            st["cand_list"] = False
+            st["hasN_rows"] = np.zeros(0, dtype=np.int64)
+            st["cand_faithful"] = k >= 3
+            fut = stealer.submit(
+                _native.cand_mask, st["batch"],
+                np.arange(st["B"], dtype=np.int64), k, st["O"],
+                st["cand_faithful"])
+            outs.append(_FutureArray(fut))
+            self._host_steals += 1
+        return outs
+
+    def _dispatch_stream(self, pair_batches, group: int = 1,
+                         route=None, stealer=None):
         """(st, dev) pairs in input order, dispatching up to ``group``
-        consecutive same-bucket batches per device call."""
+        consecutive same-bucket batches per device call. When ``route``
+        (the hybrid steal gate) fires and the group is eligible, the
+        whole group is computed by the host candidate twin instead."""
         pend = []
 
         def flush():
-            for item in zip(pend, self._dispatch_group(pend)):
+            if route is not None and route() \
+                    and self._host_route_ok(pend):
+                devs = self._dispatch_group_host(pend, stealer)
+            else:
+                devs = self._dispatch_group(pend)
+            for item in zip(pend, devs):
                 yield item
             pend.clear()
 

@@ -379,7 +379,11 @@ class _HostStealer:
         self._lock = threading.Lock()
 
     def idle(self):
-        return self._n == 0
+        # single-submitter invariant: submit() is only called from the
+        # dispatch thread, but take the lock anyway — the check is cold
+        # and the invariant stays explicit if a second submitter appears
+        with self._lock:
+            return self._n == 0
 
     def submit(self, fn, *a):
         with self._lock:
@@ -653,14 +657,22 @@ class BatchAssembler:
         # the exact native host twin instead of the device, so spare
         # host cores add throughput ON TOP of the saturated wire.
         hyb = os.environ.get("PANDASEQ_TPU_HYBRID", "")
-        stealer = _HostStealer() if hyb != "0" else None
+        # the stealer thread is created lazily on the first steal so the
+        # common case (adaptive gate never fires) spawns no extra thread
+        stealer_box = [None]
+
+        def stealer():
+            if stealer_box[0] is None:
+                stealer_box[0] = _HostStealer()
+            return stealer_box[0]
 
         def route():
-            if stealer is None:
+            if hyb == "0":
                 return False
             if hyb == "force":
                 return True
-            return (stealer.idle() and len(futs) >= 2
+            s = stealer_box[0]
+            return ((s is None or s.idle()) and len(futs) >= 2
                     and not futs[0].done())
 
         try:
@@ -684,8 +696,8 @@ class BatchAssembler:
                 except Exception:
                     pass
             ex.shutdown(wait=True)
-            if stealer is not None:
-                stealer.shutdown()
+            if stealer_box[0] is not None:
+                stealer_box[0].shutdown()
 
     def assemble_stream(self, pair_batches, depth: int = 3,
                         threaded: bool = False, group: int = 1):
@@ -1095,6 +1107,8 @@ class BatchAssembler:
         so no hasN fixup is needed; num_kmers >= 3 uses the faithful
         kmerseen simulation, same as the device path's fixup rows."""
         from .io import native as _native
+        if not hasattr(stealer, "submit"):  # lazy factory from the
+            stealer = stealer()             # threaded pipeline
         k = self.cfg.num_kmers
         outs = []
         for st in sts:

@@ -575,8 +575,12 @@ def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
     if isinstance(j0, int) and j0 == 0 and Oj == O:
         # static full-plane case (the single-chip production path;
         # the op-sharded mesh passes a traced per-shard j0)
-        pall = os.environ.get("PANDASEQ_TPU_PALLAS")
-        if pall and O % 128 == 0:
+        pall = os.environ.get("PANDASEQ_TPU_PALLAS", "")
+        # "0"/"" disable (matching PANDASEQ_TPU_HYBRID); O must fit the
+        # frame width or plane_cand_pallas's own assert fires at trace
+        # time instead of falling back to the XLA triangular path
+        if pall not in ("", "0") and O % 128 == 0 \
+                and O <= Fkm.shape[1]:
             from . import pallas_cand
             return pallas_cand.plane_cand_pallas(
                 Fkm, Rkm, O, interpret=(pall == "interpret"))

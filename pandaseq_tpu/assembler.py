@@ -574,6 +574,8 @@ class BatchAssembler:
         # A/B in bench.py measures both sides in the same weather
         # window); False = pin the device path, overriding env + auto.
         self._host_only = host_only
+        self.engine_info = ({"reason": "constructor"}
+                            if host_only is not None else None)
         algo = self.cfg.algorithm
         name = algo.name
         self._custom = name not in ("simple_bayesian", "uparse", "pear",
@@ -882,15 +884,38 @@ class BatchAssembler:
         return sparse, lut
 
     def _resolve_host_only(self) -> bool:
+        """Engine resolution, lazy at first dispatch. Priority:
+        constructor host_only > PANDASEQ_TPU_ENGINE=tpu|host > legacy
+        PANDASEQ_TPU_HOST > measured auto probe (runtime.pick_engine:
+        device kernel vs native twin, cached per environment — the
+        deployment default must not lose to its own fallback)."""
         if self._host_only is None:
-            env = os.environ.get("PANDASEQ_TPU_HOST")
-            if env is not None:
-                self._host_only = env not in ("0", "")
+            legacy = os.environ.get("PANDASEQ_TPU_HOST")
+            env = os.environ.get("PANDASEQ_TPU_ENGINE", "")
+            if env in ("tpu", "host"):
+                self._host_only = env == "host"
+                self.engine_info = {"reason": "env"}
+            elif legacy is not None:
+                self._host_only = legacy not in ("0", "")
+                self.engine_info = {"reason": "env-legacy"}
+            elif self.mesh is not None:
+                self._host_only = False  # sharded runs pin the device
+                self.engine_info = {"reason": "mesh"}
             else:
-                import jax
-                self._host_only = (self.mesh is None
-                                   and jax.default_backend() == "cpu")
+                from .runtime import pick_engine
+                eng, info = pick_engine(
+                    num_kmers=min(max(self.cfg.num_kmers, 1), 2))
+                self._host_only = eng == "host"
+                self.engine_info = info
         return self._host_only
+
+    @property
+    def engine(self) -> str:
+        """'host' or 'tpu' — which candidate-search engine this
+        assembler uses (resolving the auto probe if still pending);
+        logged in the CLI's provenance lines (args.c:515-531
+        analogue)."""
+        return "host" if self._resolve_host_only() else "tpu"
 
     def _sparse_plane(self, st):
         """Host prep for the sparse path: 4-bit packed upload plane

@@ -393,6 +393,16 @@ def run(c: Config, argv, prog="pandaseq", reader_wrapper=None,
     enable_compilation_cache()
     prof = maybe_profile().__enter__()  # PANDASEQ_TPU_PROFILE=<dir>
     asm = BatchAssembler(c.cfg, L=512, modules=c.modules)
+    # provenance: which candidate-search engine serves this run (the
+    # measured auto default, or a pin) — args.c:515-531 analogue. The
+    # auto probe resolves here, before the first batch dispatches.
+    try:
+        eng = asm.engine
+        info = asm.engine_info or {}
+        logger.write_str("INFO\tENGINE\t%s (%s)"
+                         % (eng, info.get("reason", "auto")))
+    except Exception:
+        pass
     reporter = stats.StatReporter(logger)
 
     native_reader = None

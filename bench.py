@@ -176,9 +176,15 @@ def bench_reference(files, ref_out: dict, on_update=None) -> None:
                                    timeout=600)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            ref_out[name] = round(N_PAIRS / best, 1)
+            # max-merge: the first pass runs concurrently with the TPU
+            # child's claim/compile phase, so a later QUIET pass may
+            # measure the reference faster — the reference is always
+            # credited its best observed rate (fairness: vs_baseline
+            # must not be inflated by host contention)
+            rate = round(N_PAIRS / best, 1)
+            ref_out[name] = max(ref_out.get(name, 0.0), rate)
             log(f"reference[{name}]: {N_PAIRS} pairs in {best:.2f}s = "
-                f"{ref_out[name]:.0f} pairs/s")
+                f"{rate:.0f} pairs/s (best {ref_out[name]:.0f})")
             if on_update:
                 on_update()
         except Exception as e:
@@ -350,7 +356,20 @@ def kernel_capability(st, state, beat):
         f"MACs), {state['mfu_dense_equiv_pct']}% dense-equivalent")
     beat()
 
-    # stage split: frames+rank | + candidate matmul | + list pack
+    # stage split: frames+rank | + candidate matmul | + list pack.
+    # Each partial kernel's output folds to [B] via a POSITION-WEIGHTED
+    # matvec — tiny accumulator (a [B, L] int32 acc measured ~40 ms of
+    # pure HBM traffic, swamping the 0.5 ms stage), but still
+    # position-dependent so XLA cannot elide the rank sorts (a plain
+    # sum is permutation-invariant).
+    import jax
+
+    def fold(x):
+        w = jnp.arange(1, x.shape[1] + 1, dtype=jnp.int32)
+        return jax.lax.dot_general(
+            x.astype(jnp.int32), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
     def frames(p, fl, rl):
         from pandaseq_tpu.ops.fused2 import (_unpack2bit,
                                              kmer_frames_codes)
@@ -358,21 +377,22 @@ def kernel_capability(st, state, beat):
         Fkm, Rkm = kmer_frames_codes(cf, nonn, cr, nonn,
                                      fl.astype(jnp.int32),
                                      rl.astype(jnp.int32), L, nk)
-        return Fkm ^ Rkm
+        return fold(Fkm) ^ fold(Rkm)
 
     def cand(p, fl, rl):
-        return fused2._candc_packed4(p, fl, rl, L, O, nk)
+        return fold(fused2._candc_packed4(p, fl, rl, L, O, nk))
 
     try:
-        f_ms = _kslope(frames, stacked, flen, rlen, (B, L), jnp.int32,
-                       reps=3)
+        f_ms = _kslope(frames, stacked, flen, rlen, (B,), jnp.int32)
         beat()
-        c_ms = _kslope(cand, stacked, flen, rlen, (B, O), jnp.int32,
-                       reps=3)
-        state["kernel_stage_ms"] = {
-            "frames_rank": round(f_ms, 2),
-            "candidate_matmul": round(max(c_ms - f_ms, 0.0), 2),
-            "list_pack": round(max(full_ms - c_ms, 0.0), 2)}
+        c_ms = _kslope(cand, stacked, flen, rlen, (B,), jnp.int32)
+        split = {"frames_rank": round(f_ms, 2),
+                 "candidate_matmul": round(max(c_ms - f_ms, 0.0), 2),
+                 "list_pack": round(max(full_ms - c_ms, 0.0), 2)}
+        if not (f_ms <= c_ms * 1.25 and c_ms <= full_ms * 1.25):
+            split["note"] = ("partials exceed the full kernel — "
+                            "tunnel weather moved between samples")
+        state["kernel_stage_ms"] = split
         log(f"kernel stages: frames+rank {f_ms:.2f} ms, +candidate "
             f"{c_ms - f_ms:.2f} ms, +list-pack {full_ms - c_ms:.2f} ms")
     except Exception as e:
@@ -774,12 +794,19 @@ def main():
         target=bench_reference, args=(files, STATE["ref"], emit),
         daemon=True)
     ref_thread.start()
+    t_start = time.monotonic()
     try:
         run_child_attempts()
     except Exception as e:
         log(f"unexpected parent failure: {e!r}")
         STATE["error"] = f"parent: {e!r}"
     ref_thread.join(timeout=120)
+    # quiet refinement pass: the first reference pass contended with
+    # the TPU child's host stages; re-measure on the now-idle host and
+    # keep each config's best (max-merge inside bench_reference)
+    if time.monotonic() - t_start < DEADLINE_S:
+        log("--- quiet reference refinement pass ---")
+        bench_reference(files, STATE["ref"], emit)
     emit(final=True)
 
 

@@ -400,6 +400,138 @@ class _HostStealer:
         self.ex.shutdown(wait=True)
 
 
+class _DeviceOffload:
+    """Opportunistic device offload for a HOST-engine pipeline — the
+    inverse of the hybrid host-steal: when the measured auto probe
+    picked the host engine (runtime.pick_engine), the accelerator sits
+    idle while the host candidate search is ~30% of the serial chain
+    (BENCH_STAGES.json: 8.2 of 28.6 ms/batch). Routing a bounded
+    number of groups to the device's candidate-list kernel removes
+    that stage for them; both engines produce bit-identical masks, so
+    output is unchanged (tests/test_offload.py).
+
+    Stall safety: the lane runs on DAEMON threads (a wedged tunnel RPC
+    can never hang process exit) and dispatch+fetch complete inside
+    the lane job, so the ordered finalize pipeline waits at most an
+    adaptive timeout (4x the EMA group latency) before recomputing the
+    group's masks with the exact native twin and discarding the late
+    device result. While a lane job is wedged, the outstanding cap
+    stops new offloads — a brownout degrades to plain host mode."""
+
+    CAP = 2  # groups in flight on the device lane
+
+    def __init__(self, asm):
+        import queue
+        self.asm = asm
+        self.q = queue.Queue()
+        self.outstanding = []
+        self.lat = None  # EMA seconds per completed group
+        self.count = 0  # batches offloaded
+        self.timeouts = 0  # batches recomputed on host after timeout
+        for _ in range(2):
+            threading.Thread(target=self._worker, daemon=True).start()
+
+    def _worker(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            fut, job = item
+            try:
+                fut.set_result(job())
+            except BaseException as e:  # surfaced at fut.result()
+                fut.set_exception(e)
+
+    def room(self):
+        self.outstanding = [f for f in self.outstanding
+                            if not f.done()]
+        return len(self.outstanding) < self.CAP
+
+    def timeout(self):
+        # generous before the first completion (the first dispatch may
+        # compile); thereafter 4x the typical group round-trip
+        return max(2.0, 4.0 * self.lat) if self.lat is not None \
+            else 60.0
+
+    def submit_group(self, sts):
+        """One grouped device dispatch+fetch on the lane; returns one
+        _OffloadView per st. _sparse_plane runs HERE on the dispatch
+        thread so st mutation stays single-threaded."""
+        import time as _time
+        from concurrent.futures import Future
+        asm = self.asm
+        Lb, O = sts[0]["Lb"], sts[0]["O"]
+        planes, flens, rlens = [], [], []
+        for st in sts:
+            st["plane_kind"] = 1
+            st["cand_list"] = True
+            planes.append(asm._sparse_plane(st))
+            flens.append(st["batch"].flen)
+            rlens.append(st["batch"].rlen)
+        plane = np.concatenate(planes, axis=0)
+        fl = np.concatenate(flens)
+        rl = np.concatenate(rlens)
+        t0 = _time.perf_counter()
+
+        def job():
+            out = asm._fused2.assemble_candidates_list_packed4(
+                plane, fl, rl, L=Lb, O=O, num_kmers=asm.cfg.num_kmers)
+            arr = np.asarray(out)
+            dt = _time.perf_counter() - t0
+            self.lat = dt if self.lat is None \
+                else 0.7 * self.lat + 0.3 * dt
+            return arr
+
+        fut = Future()
+        self.q.put((fut, job))
+        self.outstanding.append(fut)
+        views = []
+        lo = 0
+        for st in sts:
+            views.append(_OffloadView(self, fut, lo, lo + st["B"], st))
+            lo += st["B"]
+        self.count += len(sts)
+        return views
+
+    def shutdown(self):
+        for _ in range(2):
+            self.q.put(None)
+        self.asm._offload_count += self.count
+        self.asm._offload_timeouts += self.timeouts
+
+
+class _OffloadView:
+    """One batch's slice of an offloaded group. Waits up to the lane's
+    adaptive timeout for the device result; on timeout, recomputes the
+    batch's candidate mask with the exact native host twin (identical
+    bits) and flips the st contract to mask form."""
+
+    __slots__ = ("_off", "_fut", "_lo", "_hi", "_st")
+
+    def __init__(self, off, fut, lo, hi, st):
+        self._off = off
+        self._fut = fut
+        self._lo = lo
+        self._hi = hi
+        self._st = st
+
+    def __array__(self, dtype=None, copy=None):
+        from concurrent.futures import TimeoutError as FutTimeout
+        try:
+            arr = self._fut.result(timeout=self._off.timeout())
+            return arr[self._lo:self._hi]
+        except FutTimeout:
+            self._off.timeouts += 1
+            st = self._st
+            st["cand_list"] = False
+            st["hasN_rows"] = np.zeros(0, dtype=np.int64)
+            st["cand_faithful"] = False
+            from .io import native
+            return native.cand_mask(
+                st["batch"], np.arange(st["B"], dtype=np.int64),
+                self._off.asm.cfg.num_kmers, st["O"])
+
+
 class _BatchResults:
     """Columnar backing shared by one batch's NativeResult rows."""
 
@@ -624,6 +756,8 @@ class BatchAssembler:
         # alternate-kernel opt-in, whose kernel emits masks)
         self._cand_list = not os.environ.get("PANDASEQ_TPU_JOIN")
         self._host_steals = 0  # batches work-stolen to the host twin
+        self._offload_count = 0  # batches device-offloaded (host eng.)
+        self._offload_timeouts = 0  # offloads recomputed after timeout
 
     # ------------------------------------------------------------------
     def assemble_batch(self, pairs):
@@ -677,9 +811,16 @@ class BatchAssembler:
             return ((s is None or s.idle()) and len(futs) >= 2
                     and not futs[0].done())
 
+        # host engine + idle accelerator: opportunistic device offload
+        # (the inverse of the host steal; at most one of the two is
+        # active, keyed off the resolved engine)
+        offload = _DeviceOffload(self) if self._offload_enabled() \
+            else None
+
         try:
             for st, dev in self._dispatch_stream(pair_batches, group,
-                                                 route, stealer):
+                                                 route, stealer,
+                                                 offload):
                 q.append((st, dev))
                 if len(q) > depth:
                     futs.append(ex.submit(fin, *q.popleft()))
@@ -700,6 +841,8 @@ class BatchAssembler:
             ex.shutdown(wait=True)
             if stealer_box[0] is not None:
                 stealer_box[0].shutdown()
+            if offload is not None:
+                offload.shutdown()
 
     def assemble_stream(self, pair_batches, depth: int = 3,
                         threaded: bool = False, group: int = 1):
@@ -908,6 +1051,32 @@ class BatchAssembler:
                 self._host_only = eng == "host"
                 self.engine_info = info
         return self._host_only
+
+    def _offload_enabled(self) -> bool:
+        """Whether the threaded pipeline may opportunistically offload
+        candidate groups to the device while the HOST engine serves the
+        pipeline (_DeviceOffload). Requires: host engine chosen by the
+        MEASURED auto probe (an explicit host pin means host only), a
+        real accelerator backend, the native lib, a built-in algorithm
+        and k-mer seeding in the device kernel's exact range. Env:
+        PANDASEQ_TPU_OFFLOAD=0 disables, =force enables for any
+        host-engine reason (tests use this on the CPU backend)."""
+        env = os.environ.get("PANDASEQ_TPU_OFFLOAD", "")
+        if env == "0":
+            return False
+        from .io import native as _native
+        if (_native.get_lib() is None or self._custom
+                or self.mesh is not None
+                or self.cfg.num_kmers not in (1, 2)):
+            return False
+        if not self._resolve_host_only():
+            return False  # device engine already serves the pipeline
+        if env == "force":
+            return True
+        if (self.engine_info or {}).get("reason") != "probe":
+            return False  # explicit pin: stay host-only
+        import jax
+        return jax.default_backend() != "cpu"
 
     @property
     def engine(self) -> str:
@@ -1124,6 +1293,14 @@ class BatchAssembler:
         return (sparse and self.cfg.num_kmers >= 1
                 and not self._resolve_host_only())
 
+    def _offload_ok(self, sts):
+        """Group eligibility for the device-offload lane: sparse
+        candidate contract only (k in 1..2 — enforced at enable time),
+        no O-overflow reroutes, homogeneous bucket (guaranteed by the
+        flush-on-bucket-change rule)."""
+        return bool(sts) and not any(st["O_full"] > st["O"]
+                                     for st in sts)
+
     def _dispatch_group_host(self, sts, stealer):
         """Work-stolen group: every row's candidate mask from the
         exact native twin (psq_cand_mask) on the stealer's thread —
@@ -1150,15 +1327,20 @@ class BatchAssembler:
         return outs
 
     def _dispatch_stream(self, pair_batches, group: int = 1,
-                         route=None, stealer=None):
+                         route=None, stealer=None, offload=None):
         """(st, dev) pairs in input order, dispatching up to ``group``
         consecutive same-bucket batches per device call. When ``route``
         (the hybrid steal gate) fires and the group is eligible, the
-        whole group is computed by the host candidate twin instead."""
+        whole group is computed by the host candidate twin instead;
+        with a host engine and an ``offload`` lane, eligible groups go
+        to the idle accelerator while it has room."""
         pend = []
 
         def flush():
-            if route is not None and route() \
+            if offload is not None and offload.room() \
+                    and self._offload_ok(pend):
+                devs = offload.submit_group(pend)
+            elif route is not None and route() \
                     and self._host_route_ok(pend):
                 devs = self._dispatch_group_host(pend, stealer)
             else:

@@ -540,6 +540,12 @@ def tpu_child(out_path):
                 break
             rate = n / dt
             best[name] = max(best[name], rate)
+            if a._offload_count:
+                state["offload_batches"] = (
+                    state.get("offload_batches", 0) + a._offload_count)
+                state["offload_timeouts"] = (
+                    state.get("offload_timeouts", 0)
+                    + a._offload_timeouts)
             log(f"window {windows} {name}: {n} pairs in {dt:.2f}s = "
                 f"{rate:.0f} pairs/s (best {best[name]:.0f})")
             state["configs"] = {k: round(v, 1) for k, v in best.items()
@@ -617,6 +623,8 @@ def build_out(final: bool) -> dict:
            "reference_configs": dict(ref) or None,
            "vs_baseline_configs": vs_cfg or None,
            "windows": merged.get("windows"),
+           "offload_batches": merged.get("offload_batches"),
+           "offload_timeouts": merged.get("offload_timeouts"),
            "error": merged.get("error") or STATE["error"],
            "final": final}
     cdense = configs.get("dense_k0")

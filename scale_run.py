@@ -104,6 +104,15 @@ def multiset_sha(paths) -> tuple[str, int]:
 
 
 def run_procs(nproc: int, inputs, out_dir: str, omp: int):
+    """Each simulated host is PINNED (taskset) to its own disjoint
+    ``omp``-core slice — including the 1-proc baseline. Without
+    pinning, the baseline's pipeline threads (decode OMP pool +
+    finalize OMP pool + python stages run CONCURRENTLY) spill across
+    the whole machine despite OMP_NUM_THREADS, so "N hosts on one box"
+    could never reach their aggregate and the efficiency ratio
+    understated true multi-host scaling. With pinning, every simulated
+    host sees the same fixed-size machine, which is what a real
+    1-vs-N-host comparison measures."""
     os.makedirs(out_dir, exist_ok=True)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -115,10 +124,16 @@ def run_procs(nproc: int, inputs, out_dir: str, omp: int):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PSQ_ROOT"] = ROOT
     env["OMP_NUM_THREADS"] = str(omp)
+
+    def pin(i):
+        cores = "%d-%d" % (i * omp, (i + 1) * omp - 1)
+        return ["taskset", "-c", cores] if os.path.exists(
+            "/usr/bin/taskset") else []
+
     t0 = time.perf_counter()
     procs = [subprocess.Popen(
-        [sys.executable, script, str(i), str(nproc), port, out_dir,
-         json.dumps([list(p) for p in inputs])],
+        pin(i) + [sys.executable, script, str(i), str(nproc), port,
+                  out_dir, json.dumps([list(p) for p in inputs])],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=ROOT) for i in range(nproc)]
     outs = [p.communicate()[0].decode() for p in procs]

@@ -1055,14 +1055,18 @@ class BatchAssembler:
     def _offload_enabled(self) -> bool:
         """Whether the threaded pipeline may opportunistically offload
         candidate groups to the device while the HOST engine serves the
-        pipeline (_DeviceOffload). Requires: host engine chosen by the
-        MEASURED auto probe (an explicit host pin means host only), a
-        real accelerator backend, the native lib, a built-in algorithm
-        and k-mer seeding in the device kernel's exact range. Env:
-        PANDASEQ_TPU_OFFLOAD=0 disables, =force enables for any
-        host-engine reason (tests use this on the CPU backend)."""
+        pipeline (_DeviceOffload). OPT-IN (PANDASEQ_TPU_OFFLOAD=1, or
+        =force to skip the accelerator-backend gate in tests): a
+        same-window A/B on the dev tunnel measured offload LOSING
+        10-40% — the tunnel's dispatch-side host CPU cost (RPC
+        serialization of the upload on these 4 cores) exceeds the
+        candidate-stage saving. On PCIe-attached hosts dispatch is
+        near-free DMA and the lane should win; enable it there after a
+        local A/B (docs/PERF.md round-5 notes). Also requires: host
+        engine, the native lib, a built-in algorithm, k-mer seeding in
+        the device kernel's exact range, no mesh."""
         env = os.environ.get("PANDASEQ_TPU_OFFLOAD", "")
-        if env == "0":
+        if env not in ("1", "force"):
             return False
         from .io import native as _native
         if (_native.get_lib() is None or self._custom
@@ -1073,8 +1077,6 @@ class BatchAssembler:
             return False  # device engine already serves the pipeline
         if env == "force":
             return True
-        if (self.engine_info or {}).get("reason") != "probe":
-            return False  # explicit pin: stay host-only
         import jax
         return jax.default_backend() != "cpu"
 

@@ -56,10 +56,15 @@ def test_offload_timeout_falls_back_to_host(monkeypatch):
     assert codes1 == codes0
 
 
-def test_offload_disabled_on_explicit_pin(monkeypatch):
-    """PANDASEQ_TPU_ENGINE=host is a pin: no offload unless forced."""
+def test_offload_is_opt_in(monkeypatch):
+    """Offload is opt-in: the same-window A/B measured it losing on
+    the dev tunnel (dispatch-side host CPU cost), so the default must
+    stay the plain host engine."""
     monkeypatch.setenv("PANDASEQ_TPU_ENGINE", "host")
     monkeypatch.delenv("PANDASEQ_TPU_OFFLOAD", raising=False)
+    asm = BatchAssembler(oracle.OracleConfig(), L=512)
+    assert not asm._offload_enabled()
+    monkeypatch.setenv("PANDASEQ_TPU_OFFLOAD", "0")
     asm = BatchAssembler(oracle.OracleConfig(), L=512)
     assert not asm._offload_enabled()
 

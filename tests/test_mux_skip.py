@@ -119,6 +119,38 @@ def test_claimed_batches_partition_and_match(tmp_path):
     assert sorted(seen) == list(range(len(full)))
 
 
+def test_skip_gzip_stream(tmp_path):
+    """Skip works over compressed streams (the Stream layer handles
+    gz/bz2 below the line scanner, fileio.c:60-98)."""
+    import gzip
+    import shutil
+    f1, f2 = _mk_pair(tmp_path, n=48)
+    g1 = str(tmp_path / "s1.fastq.gz")
+    with open(f1, "rb") as src, gzip.open(g1, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    full = _decode_all(f1, f2)
+    rdr = native.NativeBatchReader(g1, f2, batch=B, L=512)
+    assert rdr.skip_batch() == B
+    _equal_batch(next(rdr), full[1])
+
+
+def test_skip_with_index_reads(tmp_path):
+    """Index (barcode) streams advance in lock-step during skip — the
+    tag parse and NOTPAIRED checks fire identically (fastq.c:159-188)."""
+    f1, f2 = _mk_pair(tmp_path, n=48)
+    fi = str(tmp_path / "si.fastq")
+    _fastq(fi, 48, 3, "1", lengths=(6,))
+    full = list(native.NativeBatchReader(f1, f2, batch=B, L=512,
+                                         index_path=fi))
+    rdr = native.NativeBatchReader(f1, f2, batch=B, L=512,
+                                   index_path=fi)
+    assert rdr.skip_batch() == B
+    _equal_batch(next(rdr), full[1])
+    # ids (with injected tags) only exist on decoded batches; the tag
+    # text of batch 1 must match the decode-everything walk
+    assert list(full[1].sids) == [str(s) for s in full[1].sids]
+
+
 def test_claimed_batches_resume_watermark(tmp_path):
     from pandaseq_tpu.parallel.distributed import _claimed_batches
     f1, f2 = _mk_pair(tmp_path, n=100)

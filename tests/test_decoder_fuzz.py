@@ -143,3 +143,58 @@ def test_nodata_record_updates_persistent_qual_tails(tmp_path):
             pyf = np.zeros(450, dtype=nat.dtype)
             pyf[:min(len(py), 450)] = np.asarray(py)[:450]
             assert (nat == pyf).all(), i
+
+
+def test_skip_fuzz_matches_decode(tmp_path):
+    """Skip-walk equivalence on adversarial streams: for every mutated
+    corpus, interleaving psq_skip_batch with decode must land on the
+    same batch boundaries, the same terminal error and bit-identical
+    decoded batches as a decode-everything walk — including after
+    truncations, deleted/duplicated lines and injected bad chars."""
+    from pandaseq_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    base1 = open(os.path.join(DATA, "synth_1.fastq"), "rb").read()
+    base2 = open(os.path.join(DATA, "synth_2.fastq"), "rb").read()
+    base1 = b"\n".join(base1.split(b"\n")[:4 * 120]) + b"\n"
+    base2 = b"\n".join(base2.split(b"\n")[:4 * 120]) + b"\n"
+    rng = random.Random(987)
+    B = 37  # odd batch so boundaries do not align with mutations
+    for it in range(30):
+        d1, d2 = base1, base2
+        if it:
+            if rng.random() < 0.7:
+                d1 = _mutate(d1, rng)
+            if rng.random() < 0.7:
+                d2 = _mutate(d2, rng)
+        f1 = tmp_path / ("s1_%d.fastq" % it)
+        f2 = tmp_path / ("s2_%d.fastq" % it)
+        f1.write_bytes(d1)
+        f2.write_bytes(d2)
+        ref = native.NativeBatchReader(str(f1), str(f2), batch=B, L=512)
+        full = list(ref)
+        walk = native.NativeBatchReader(str(f1), str(f2), batch=B,
+                                        L=512)
+        for k, fb in enumerate(full):
+            if k % 2 == 0:  # skip even batches, decode odd
+                n = walk.skip_batch()
+                assert n == len(fb.sids), (it, k, n, len(fb.sids))
+            else:
+                gb = next(walk)
+                assert list(gb.sids) == list(fb.sids), (it, k)
+                for fld in ("fwd_nt", "fwd_q", "rev_nt", "rev_q",
+                            "flen", "rlen"):
+                    np.testing.assert_array_equal(
+                        getattr(gb, fld), getattr(fb, fld),
+                        err_msg="%d/%d %s" % (it, k, fld))
+        # stream end + terminal error agree
+        if len(full) % 2 == 0:
+            assert walk.skip_batch() == 0, it
+        else:
+            try:
+                next(walk)
+                assert False, (it, "extra batch")
+            except StopIteration:
+                pass
+        assert walk.error == ref.error, (it, walk.error, ref.error)

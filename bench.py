@@ -182,7 +182,8 @@ def bench_reference(files, ref_out: dict, on_update=None) -> None:
             # credited its best observed rate (fairness: vs_baseline
             # must not be inflated by host contention)
             rate = round(N_PAIRS / best, 1)
-            ref_out[name] = max(ref_out.get(name, 0.0), rate)
+            with _EMIT_LOCK:  # build_out iterates ref_out concurrently
+                ref_out[name] = max(ref_out.get(name, 0.0), rate)
             log(f"reference[{name}]: {N_PAIRS} pairs in {best:.2f}s = "
                 f"{rate:.0f} pairs/s (best {ref_out[name]:.0f})")
             if on_update:
@@ -595,7 +596,11 @@ def tpu_child(out_path):
 # ---------------------------------------------------------------------------
 
 STATE = {"ref": {}, "merged": {}, "error": None}
-_EMIT_LOCK = threading.Lock()
+# RLock: the SIGTERM handler runs on the main thread and may interrupt
+# an in-progress emit() — a plain Lock would self-deadlock there. Also
+# held by merge() so build_out's dict iteration (ref thread) never
+# races the main thread's config inserts.
+_EMIT_LOCK = threading.RLock()
 _LAST_LINE = [None]
 _CHILD = None  # live TPU child, killed by the signal handler
 
@@ -676,6 +681,12 @@ def run_child_attempts():
     attempt = 0
 
     def merge(data, done):
+        # under _EMIT_LOCK: build_out (possibly on the ref thread via
+        # on_update=emit) iterates these dicts while we insert
+        with _EMIT_LOCK:
+            return _merge_locked(data, done)
+
+    def _merge_locked(data, done):
         changed = False
         for k, v in data.items():
             if k == "configs":
@@ -788,12 +799,21 @@ def main():
     # and exit 0: the record survives the kill (VERDICT r4 item 1)
     def _die(signum, frame):
         STATE["error"] = STATE["error"] or f"killed by signal {signum}"
+        try:  # reap the TPU child FIRST — even if emission fails, a
+            if _CHILD is not None and _CHILD.poll() is None:  # chip
+                _CHILD.kill()  # must never be left held
+        except Exception:
+            pass
         try:
-            emit(final=True)
-            if _CHILD is not None and _CHILD.poll() is None:
-                _CHILD.kill()  # never leave a TPU process behind
-        finally:
-            os._exit(0)
+            # direct fd write, not print(): the handler may have
+            # interrupted an in-progress emit() mid-line, so start
+            # with a newline and bypass the (re-entrant) lock/stdout
+            # buffer entirely
+            line = "\n" + json.dumps(build_out(True)) + "\n"
+            os.write(1, line.encode())
+        except Exception:
+            pass
+        os._exit(0)
     try:
         signal.signal(signal.SIGTERM, _die)
         signal.signal(signal.SIGINT, _die)

@@ -421,10 +421,14 @@ class _DeviceOffload:
     CAP = 2  # groups in flight on the device lane
 
     def __init__(self, asm):
+        # hand-rolled daemon-thread lane, NOT ThreadPoolExecutor: TPE
+        # threads are non-daemon and joined at interpreter exit, so a
+        # wedged tunnel RPC inside a lane job would hang process exit
         import queue
         self.asm = asm
         self.q = queue.Queue()
         self.outstanding = []
+        self.failed = set()  # futures that already timed out / raised
         self.lat = None  # EMA seconds per completed group
         self.count = 0  # batches offloaded
         self.timeouts = 0  # batches recomputed on host after timeout
@@ -500,11 +504,17 @@ class _DeviceOffload:
         self.asm._offload_timeouts += self.timeouts
 
 
+class _OffloadFailed(Exception):
+    """A sibling view already declared this offload future dead."""
+
+
 class _OffloadView:
     """One batch's slice of an offloaded group. Waits up to the lane's
-    adaptive timeout for the device result; on timeout, recomputes the
-    batch's candidate mask with the exact native host twin (identical
-    bits) and flips the st contract to mask form."""
+    adaptive timeout for the device result; on timeout OR any device
+    error, recomputes the batch's candidate mask with the exact native
+    host twin (identical bits) and flips the st contract to mask form.
+    The first failure marks the shared future dead so sibling views
+    fall back immediately instead of serially re-waiting."""
 
     __slots__ = ("_off", "_fut", "_lo", "_hi", "_st")
 
@@ -516,12 +526,18 @@ class _OffloadView:
         self._st = st
 
     def __array__(self, dtype=None, copy=None):
-        from concurrent.futures import TimeoutError as FutTimeout
+        off = self._off
         try:
-            arr = self._fut.result(timeout=self._off.timeout())
+            if self._fut in off.failed:
+                raise _OffloadFailed  # siblings skip the dead wait
+            # ANY failure — timeout, device RPC error, compile error,
+            # OOM — degrades to the exact host recompute; only the
+            # timeout leaves the (possibly still-running) job behind
+            arr = self._fut.result(timeout=off.timeout())
             return arr[self._lo:self._hi]
-        except FutTimeout:
-            self._off.timeouts += 1
+        except Exception:
+            off.failed.add(self._fut)
+            off.timeouts += 1
             st = self._st
             st["cand_list"] = False
             st["hasN_rows"] = np.zeros(0, dtype=np.int64)
@@ -529,7 +545,7 @@ class _OffloadView:
             from .io import native
             return native.cand_mask(
                 st["batch"], np.arange(st["B"], dtype=np.int64),
-                self._off.asm.cfg.num_kmers, st["O"])
+                off.asm.cfg.num_kmers, st["O"])
 
 
 class _BatchResults:

@@ -125,10 +125,16 @@ def run_procs(nproc: int, inputs, out_dir: str, omp: int):
     env["PSQ_ROOT"] = ROOT
     env["OMP_NUM_THREADS"] = str(omp)
 
+    import shutil
+    have_taskset = shutil.which("taskset") is not None
+    if not have_taskset:
+        print("WARNING: taskset not found — hosts run UNPINNED and the "
+              "efficiency ratio will understate true multi-host "
+              "scaling", flush=True)
+
     def pin(i):
         cores = "%d-%d" % (i * omp, (i + 1) * omp - 1)
-        return ["taskset", "-c", cores] if os.path.exists(
-            "/usr/bin/taskset") else []
+        return ["taskset", "-c", cores] if have_taskset else []
 
     t0 = time.perf_counter()
     procs = [subprocess.Popen(

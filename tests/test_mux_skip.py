@@ -145,10 +145,12 @@ def test_skip_with_index_reads(tmp_path):
     rdr = native.NativeBatchReader(f1, f2, batch=B, L=512,
                                    index_path=fi)
     assert rdr.skip_batch() == B
-    _equal_batch(next(rdr), full[1])
-    # ids (with injected tags) only exist on decoded batches; the tag
-    # text of batch 1 must match the decode-everything walk
-    assert list(full[1].sids) == [str(s) for s in full[1].sids]
+    gb = next(rdr)
+    _equal_batch(gb, full[1])  # sids carry the injected barcode tags
+    # independent check: every id's tag suffix is the barcode ACGT-ish
+    # text, not the stream's tag-policy placeholder
+    tags = {str(s).rsplit(":", 1)[1] for s in gb.sids}
+    assert all(set(t) <= set("ACGTN") and len(t) == 6 for t in tags)
 
 
 def test_claimed_batches_resume_watermark(tmp_path):

@@ -291,39 +291,52 @@ def _tri_macs(B, O, nb=4):
     return float(B) * sum(w * (O - c * w) ** 2 for c in range(nb))
 
 
-def _kslope(fn, stacked, flen, rlen, out_shape, out_dtype, reps=7,
-            khi=65):
-    """Device-resident compute ms/call of fn: lax.fori_loop with a
-    2-way dynamic_slice input (XLA cannot hoist the body), K=1 vs
-    K=khi slope, INTERLEAVED min-of-reps sampling, fetch-timed
-    (block_until_ready is a no-op over this tunnel). The wide K spread
-    (64 iterations of signal vs per-fetch RPC jitter of tens of ms)
-    plus interleaving keeps same-window weather out of the slope —
-    K=17 with separate sampling phases measured negative slopes in
-    rough weather. fn(plane, flen, rlen) -> array of out_shape."""
+def _kslope_multi(fns, stacked, flen, rlen, reps=7, khi=65):
+    """Device-resident compute ms/call for SEVERAL kernels measured in
+    ONE interleaved sampling window: each fn gets a lax.fori_loop
+    driver with a 2-way dynamic_slice input (XLA cannot hoist the
+    body) at K=1 and K=khi, all 2*len(fns) programs sampled
+    round-robin, slope = (min tK - min t1)/(khi-1), fetch-timed
+    (block_until_ready is a no-op over this tunnel). One shared window
+    keeps tunnel weather out of BOTH the slopes and the cross-stage
+    differences — separate sampling phases minutes apart made the
+    stage split internally inconsistent (partials > full). The wide K
+    spread buries per-fetch RPC jitter (tens of ms) under 64
+    iterations of signal. fns: {name: (fn, out_shape, out_dtype)};
+    returns {name: ms}."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    fs = {}
-    for K in (1, khi):
-        @jax.jit
-        def f(stk, fl, rl, K=K):
-            def body(k, acc):
-                p = jax.lax.dynamic_slice_in_dim(
-                    stk, k % 2, 1, axis=0)[0]
-                return jnp.bitwise_xor(acc, fn(p, fl, rl))
-            z = jnp.zeros(out_shape, dtype=out_dtype)
-            return jax.lax.fori_loop(0, K, body, z)
-        np.asarray(f(stacked, flen, rlen))  # compile + warm
-        fs[K] = f
-    ts = {1: [], khi: []}
-    for _ in range(reps):
+    progs = {}
+    for name, (fn, out_shape, out_dtype) in fns.items():
         for K in (1, khi):
+            @jax.jit
+            def f(stk, fl, rl, K=K, fn=fn, out_shape=out_shape,
+                  out_dtype=out_dtype):
+                def body(k, acc):
+                    p = jax.lax.dynamic_slice_in_dim(
+                        stk, k % 2, 1, axis=0)[0]
+                    return jnp.bitwise_xor(acc, fn(p, fl, rl))
+                z = jnp.zeros(out_shape, dtype=out_dtype)
+                return jax.lax.fori_loop(0, K, body, z)
+            np.asarray(f(stacked, flen, rlen))  # compile + warm
+            progs[name, K] = f
+    ts = {key: [] for key in progs}
+    for _ in range(reps):
+        for key, f in progs.items():
             t0 = time.perf_counter()
-            np.asarray(fs[K](stacked, flen, rlen))
-            ts[K].append(time.perf_counter() - t0)
-    return max((min(ts[khi]) - min(ts[1])) / (khi - 1), 1e-6) * 1e3
+            np.asarray(f(stacked, flen, rlen))
+            ts[key].append(time.perf_counter() - t0)
+    return {name: max((min(ts[name, khi]) - min(ts[name, 1]))
+                      / (khi - 1), 1e-6) * 1e3 for name in fns}
+
+
+def _kslope(fn, stacked, flen, rlen, out_shape, out_dtype, reps=7,
+            khi=65):
+    """Single-kernel convenience wrapper over _kslope_multi."""
+    return _kslope_multi({"k": (fn, out_shape, out_dtype)}, stacked,
+                         flen, rlen, reps=reps, khi=khi)["k"]
 
 
 def kernel_capability(st, state, beat):
@@ -345,36 +358,18 @@ def kernel_capability(st, state, beat):
         "BENCH_KSLOPE_KHI",
         "9" if os.environ.get("BENCH_FORCE_CPU") else "65"))
 
+    import jax
+
     # full production kernel (candidate LIST download variant)
     def full(p, fl, rl):
         return fused2.assemble_candidates_list_packed4(
             p, fl, rl, L=L, O=O, num_kmers=nk)
 
-    full_ms = _kslope(full, stacked, flen, rlen,
-                      (B, fused2.CAND_LIST_C + 2), jnp.int16, khi=khi)
-    state["kernel_compute_ms"] = round(full_ms, 2)
-    state["kernel_pairs_per_sec"] = round(B / (full_ms * 1e-3), 0)
-    state["kernel_B"], state["kernel_L"], state["kernel_O"] = B, L, O
-    ops_exec = 2.0 * _tri_macs(B, O)
-    ops_dense = 2.0 * B * float(O) ** 3
-    state["mfu_compute_pct"] = round(
-        100.0 * ops_exec / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
-    state["mfu_dense_equiv_pct"] = round(
-        100.0 * ops_dense / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
-    log(f"kernel: {full_ms:.2f} ms/{B}-pair batch device-resident = "
-        f"{state['kernel_pairs_per_sec']:.0f} pairs/s/chip; "
-        f"MFU {state['mfu_compute_pct']}% of v5e int8 peak (executed "
-        f"MACs), {state['mfu_dense_equiv_pct']}% dense-equivalent")
-    beat()
-
-    # stage split: frames+rank | + candidate matmul | + list pack.
-    # Each partial kernel's output folds to [B] via a POSITION-WEIGHTED
-    # matvec — tiny accumulator (a [B, L] int32 acc measured ~40 ms of
-    # pure HBM traffic, swamping the 0.5 ms stage), but still
-    # position-dependent so XLA cannot elide the rank sorts (a plain
-    # sum is permutation-invariant).
-    import jax
-
+    # stage partials: frames+rank | + candidate matmul. Each folds to
+    # [B] via a POSITION-WEIGHTED matvec — tiny accumulator (a [B, L]
+    # int32 acc measured ~40 ms of pure HBM traffic, swamping the
+    # 0.5 ms stage), but still position-dependent so XLA cannot elide
+    # the rank sorts (a plain sum is permutation-invariant).
     def fold(x):
         w = jnp.arange(1, x.shape[1] + 1, dtype=jnp.int32)
         return jax.lax.dot_general(
@@ -393,23 +388,37 @@ def kernel_capability(st, state, beat):
     def cand(p, fl, rl):
         return fold(fused2._candc_packed4(p, fl, rl, L, O, nk))
 
-    try:
-        f_ms = _kslope(frames, stacked, flen, rlen, (B,), jnp.int32,
-                       khi=khi)
-        beat()
-        c_ms = _kslope(cand, stacked, flen, rlen, (B,), jnp.int32,
-                       khi=khi)
-        split = {"frames_rank": round(f_ms, 2),
-                 "candidate_matmul": round(max(c_ms - f_ms, 0.0), 2),
-                 "list_pack": round(max(full_ms - c_ms, 0.0), 2)}
-        if not (f_ms <= c_ms * 1.25 and c_ms <= full_ms * 1.25):
-            split["note"] = ("partials exceed the full kernel — "
-                            "tunnel weather moved between samples")
-        state["kernel_stage_ms"] = split
-        log(f"kernel stages: frames+rank {f_ms:.2f} ms, +candidate "
-            f"{c_ms - f_ms:.2f} ms, +list-pack {full_ms - c_ms:.2f} ms")
-    except Exception as e:
-        log(f"stage split failed (non-fatal): {e!r}")
+    # all three measured in ONE interleaved window so the split is
+    # internally consistent (separate phases minutes apart caught
+    # different weather and made partials exceed the full kernel)
+    ms = _kslope_multi(
+        {"full": (full, (B, fused2.CAND_LIST_C + 2), jnp.int16),
+         "frames": (frames, (B,), jnp.int32),
+         "cand": (cand, (B,), jnp.int32)},
+        stacked, flen, rlen, khi=khi)
+    full_ms, f_ms, c_ms = ms["full"], ms["frames"], ms["cand"]
+    state["kernel_compute_ms"] = round(full_ms, 2)
+    state["kernel_pairs_per_sec"] = round(B / (full_ms * 1e-3), 0)
+    state["kernel_B"], state["kernel_L"], state["kernel_O"] = B, L, O
+    ops_exec = 2.0 * _tri_macs(B, O)
+    ops_dense = 2.0 * B * float(O) ** 3
+    state["mfu_compute_pct"] = round(
+        100.0 * ops_exec / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
+    state["mfu_dense_equiv_pct"] = round(
+        100.0 * ops_dense / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
+    log(f"kernel: {full_ms:.2f} ms/{B}-pair batch device-resident = "
+        f"{state['kernel_pairs_per_sec']:.0f} pairs/s/chip; "
+        f"MFU {state['mfu_compute_pct']}% of v5e int8 peak (executed "
+        f"MACs), {state['mfu_dense_equiv_pct']}% dense-equivalent")
+    split = {"frames_rank": round(f_ms, 2),
+             "candidate_matmul": round(max(c_ms - f_ms, 0.0), 2),
+             "list_pack": round(max(full_ms - c_ms, 0.0), 2)}
+    if not (f_ms <= c_ms * 1.25 and c_ms <= full_ms * 1.25):
+        split["note"] = ("partials exceed the full kernel — tunnel "
+                         "weather moved within the window")
+    state["kernel_stage_ms"] = split
+    log(f"kernel stages: frames+rank {f_ms:.2f} ms, +candidate "
+        f"{c_ms - f_ms:.2f} ms, +list-pack {full_ms - c_ms:.2f} ms")
     beat()
     return full_ms
 

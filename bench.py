@@ -282,7 +282,7 @@ def _child_configs(files):
     return rows
 
 
-def _tri_macs(B, O, nb=4):
+def _tri_macs(B, O, nb=8):
     """EXECUTED int8 MACs of the triangular-blocked candidate matmul
     (fused2._plane_cand_tri): sum over chunks of w*(O-c*w)^2."""
     if O % nb:

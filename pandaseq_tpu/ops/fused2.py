@@ -593,16 +593,19 @@ def plane_cand(Fkm, Rkm, O, j0=0, Oj=None):
         preferred_element_type=jnp.int32)  # [B, O]
 
 
-def _plane_cand_tri(Fkm, Rkm, O, nb=4):
+def _plane_cand_tri(Fkm, Rkm, O, nb=8):
     """plane_cand for the static j0=0, Oj=O case, blocked along the
     stored-frame axis j into ``nb`` chunks so each dot only spans the
     LIVE part of the triangle: diagonals t = j + i stop mattering at
     t >= O (overlap o = t+1 <= O, assembler.c:84-118), so chunk c
     (j in [c*w, (c+1)*w)) needs only i < O - c*w and writes only the
-    band t in [c*w, O). MACs drop to sum_c w*(O-c*w)^2 ~ 47% of the
-    dense B*O^3 at nb=4, and — the real win on v5e, where the dense
-    kernel is HBM-bound — the materialized kq equality plane shrinks
-    to (nb+1)/(2*nb) of [B, O, O] int8. Exactly equal to the dense
+    band t in [c*w, O). MACs drop to sum_c w*(O-c*w)^2 and — the real
+    win on v5e, where the kernel is HBM-bound — the materialized kq
+    equality plane shrinks to (nb+1)/(2*nb) of [B, O, O] int8 (0.5625
+    at nb=8 vs 0.625 at nb=4). nb=8 default: a 3-trial interleaved
+    same-window A/B at B=16384, L=O=256 measured nb=8/16 ~9% faster
+    than nb=4 (2.70-2.73 vs 2.77-3.02 ms) and nb=8 the most stable;
+    nb=2 is ~35% slower (round-5). Exactly equal to the dense
     product: every dropped MAC is provably zero."""
     if O % nb:
         nb = 2 if O % 2 == 0 else 1

@@ -96,54 +96,81 @@ def pick_engine(L: int = 256, O: int = 256, num_kmers: int = 2,
         return "host", {"reason": "cpu-backend"}
 
     key = _probe_key(L, O, num_kmers)
-    cache = os.path.join(
-        os.environ.get("PANDASEQ_TPU_CACHE")
-        or os.path.expanduser("~/.cache/pandaseq_tpu"),
-        "engine_probe.json")
-    try:
-        with open(cache) as fh:
-            data = json.load(fh)
-    except Exception:
-        data = {}
+    cache_dir = (os.environ.get("PANDASEQ_TPU_CACHE")
+                 or os.path.expanduser("~/.cache/pandaseq_tpu"))
+    cache = os.path.join(cache_dir, "engine_probe.json")
+
+    def read_cached():
+        try:
+            with open(cache) as fh:
+                return json.load(fh)
+        except Exception:
+            return {}
+
+    data = read_cached()
     if not refresh and key in data:
         return data[key]["engine"], data[key]
 
-    import numpy as np
-    batch = _probe_batch(B, L)
-    rows = np.arange(B, dtype=np.int64)
-    k = max(num_kmers, 1)
-
-    def best_of(fn, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    t_host = best_of(lambda: native.cand_mask(batch, rows, k, O))
-
-    from .ops import fused2
-    plane, _ = native.pack4(batch, L)
-    run = lambda: np.asarray(fused2.assemble_candidates_list_packed4(
-        plane, batch.flen, batch.rlen, L=L, O=O, num_kmers=k))
-    run()  # compile + warm (claim stall lands here, once per env)
-    t_dev = best_of(run)
-
-    info = {"engine": "host" if t_host < t_dev else "tpu",
-            "host_ms": round(t_host * 1e3, 2),
-            "tpu_ms": round(t_dev * 1e3, 2),
-            "B": B, "reason": "probe"}
-    data[key] = info
+    # serialize concurrent probes across processes: a second process
+    # starting its own device probe would contend for the accelerator
+    # claim (multi-minute stalls on some stacks); it should instead
+    # wait and read the first probe's cached verdict
+    os.makedirs(cache_dir, exist_ok=True)
+    lock_fh = open(os.path.join(cache_dir, "engine_probe.lock"), "a+")
     try:
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        tmp = cache + ".%d.tmp" % os.getpid()
-        with open(tmp, "w") as fh:
-            json.dump(data, fh, indent=1)
-        os.replace(tmp, cache)
-    except Exception:
-        pass
-    return info["engine"], info
+        try:
+            import fcntl
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except Exception:
+            pass
+        data = read_cached()  # another process may have probed first
+        if not refresh and key in data:
+            return data[key]["engine"], data[key]
+
+        import sys
+        print("pandaseq_tpu: probing candidate-search engines for this "
+              "environment (one-time; a cold accelerator claim can "
+              "take minutes — pin with PANDASEQ_TPU_ENGINE=tpu|host "
+              "to skip)", file=sys.stderr, flush=True)
+
+        import numpy as np
+        batch = _probe_batch(B, L)
+        rows = np.arange(B, dtype=np.int64)
+        k = max(num_kmers, 1)
+
+        def best_of(fn, n=3):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_host = best_of(lambda: native.cand_mask(batch, rows, k, O))
+
+        from .ops import fused2
+        plane, _ = native.pack4(batch, L)
+        run = lambda: np.asarray(
+            fused2.assemble_candidates_list_packed4(
+                plane, batch.flen, batch.rlen, L=L, O=O, num_kmers=k))
+        run()  # compile + warm (claim stall lands here, once per env)
+        t_dev = best_of(run)
+
+        info = {"engine": "host" if t_host < t_dev else "tpu",
+                "host_ms": round(t_host * 1e3, 2),
+                "tpu_ms": round(t_dev * 1e3, 2),
+                "B": B, "reason": "probe"}
+        data[key] = info
+        try:
+            tmp = cache + ".%d.tmp" % os.getpid()
+            with open(tmp, "w") as fh:
+                json.dump(data, fh, indent=1)
+            os.replace(tmp, cache)
+        except Exception:
+            pass
+        return info["engine"], info
+    finally:
+        lock_fh.close()  # releases the flock
 
 
 def enable_compilation_cache(cache_dir: str | None = None):

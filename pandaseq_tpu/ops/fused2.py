@@ -148,11 +148,15 @@ def kmer_frames_codes(cf, nonn_f, cr, nonn_r, flen, rlen, L, num_kmers):
         # cost on TPU (docs/PERF.md "TPU kernel lore"), and neither is
         # needed — the first key already contains the position (low 10
         # bits), and the inverse permutation packs the stored bit into
-        # bit 0 of a position-keyed int32.
+        # bit 0 of a position-keyed int32. Both sorts are UNSTABLE
+        # (is_stable=False): stability is unobservable for a value-only
+        # sort, and jax's stable default costs ~2x on TPU (same-window
+        # interleaved A/B, r5: 1.08-1.18 -> 0.49-0.67 ms/16384-batch
+        # for the rank stage).
         assert L <= 1024
         big = jnp.int32(1) << 27  # > any (kmer << 10 | pos) key
         key = jnp.where(emit_f, (kf << 10) | (L - 1 - pos), big + pos)
-        sk = jax.lax.sort(key, dimension=1)
+        sk = jax.lax.sort(key, dimension=1, is_stable=False)
         idx = jnp.arange(L, dtype=jnp.int32)[None, :]
         run_start = jnp.concatenate(
             [jnp.ones(sk[:, :1].shape, bool),
@@ -166,7 +170,7 @@ def kmer_frames_codes(cf, nonn_f, cr, nonn_r, flen, rlen, L, num_kmers):
         # stored flag
         sk2 = jax.lax.sort(
             (pos_orig << 1) | stored_sorted.astype(jnp.int32),
-            dimension=1)
+            dimension=1, is_stable=False)
         stored_f = (sk2 & 1) == 1
     Fkm = jnp.where(stored_f, kf, -1)
     Rkm = jnp.where(emit_r, kr, -2)
@@ -528,7 +532,7 @@ def cand_mask_join(cf, nonn_f, cr, nonn_r, flen, rlen, L, O, num_kmers):
     prb_v = jnp.where(emit_r, (kr << 11) | pos,
                       jnp.int32(0x28000000) | pos)
     v = jax.lax.sort(jnp.concatenate([src_v, prb_v], axis=1),
-                     dimension=1)
+                     dimension=1, is_stable=False)
     is_src = (v & 1024) != 0
     INF = jnp.int32(0x7FFFFFFF)
     inf_col = jnp.full((B, 1), INF, jnp.int32)
@@ -555,7 +559,8 @@ def cand_mask_join(cf, nonn_f, cr, nonn_r, flen, rlen, L, O, num_kmers):
     # sum-of-distinct-powers == OR. The W loop is unrolled python-side
     # so every op stays full-width [B, P] — a [B, P, W] plane with W
     # minor measured ~100x slower
-    so = jax.lax.sort(jnp.concatenate(cand, axis=1), dimension=1)
+    so = jax.lax.sort(jnp.concatenate(cand, axis=1), dimension=1,
+                      is_stable=False)
     uniq = (so >= 0) & jnp.concatenate(
         [jnp.ones((B, 1), bool), so[:, 1:] != so[:, :-1]], axis=1)
     word = so >> 5
@@ -704,7 +709,7 @@ def assemble_candidates_list_packed4(plane4, flen, rlen, *, L: int,
     big = jnp.int32(1) << 20
     offs = jnp.where(present,
                      jnp.arange(1, O + 1, dtype=jnp.int32)[None, :], big)
-    so = jax.lax.sort(offs, dimension=1)[:, :C]
+    so = jax.lax.sort(offs, dimension=1, is_stable=False)[:, :C]
     so = jnp.where(so >= big, 0, so)
     B = candc.shape[0]
     out = jnp.concatenate(

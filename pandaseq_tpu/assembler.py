@@ -1769,6 +1769,10 @@ class BatchAssembler:
         pidx_a = r["pidx"]
         ptbl = self._ptbl
         sids = batch.sids
+        # -a: one vectorized primer scan per batch (the scalar
+        # per-pair oracle loop measured < 330 pairs/s at 196k scale)
+        post_pre = self._post_primer_offsets_batch(r) \
+            if self.cfg.post_primers else None
         for b in range(B):
             cd = codes_l[b]
             ob = osc_l[b]
@@ -1824,7 +1828,7 @@ class BatchAssembler:
             res.forward_length = flen_l[b]
             res.reverse_length = rlen_l[b]
 
-            code = self._post_primers_and_threshold(res)
+            code = self._post_primers_and_threshold(res, post_pre, b)
             if code != "OK":
                 out[b] = (code, res)
                 continue
@@ -1976,14 +1980,60 @@ class BatchAssembler:
         while q:
             yield fin(*q.popleft())
 
-    def _post_primers_and_threshold(self, res):
+    def _post_primer_offsets_batch(self, r):
+        """Batched panda_compute_offset_result (offset.c:124-133) over
+        the reconstructed merged sequences: one vectorized scan per
+        primer per BATCH instead of a per-pair python loop — a 196k-pair
+        `-a` run measured < 330 pairs/s on the scalar path (round-5
+        sweep timeout), this pass restores batch rate. Exactly the
+        scalar math: nt from the ascii plane, per-base log probs from
+        the ptbl gather, notprobs via the faithful log1mexp NaN quirk
+        (offset.c:35-38 — negative log-probs make log(-expm1(-p)) NaN,
+        so -a only accepts alignments where every non-N primer base
+        matches; oracle.log1mexp docstring). Rows the per-pair loop
+        rejects before primers are computed too — harmlessly, their
+        offsets are never read. Returns (fwd_offsets|None,
+        rev_offsets|None) or None when no primer is configured."""
+        cfg = self.cfg
+        fwd, rev = cfg.forward_primer, cfg.reverse_primer
+        need_f = fwd is not None and len(fwd) > 0
+        need_r = rev is not None and len(rev) > 0
+        if not (need_f or need_r):
+            return None
+        seq_len = r["osc"][:, 1].astype(np.int64)
+        # trim the scan width to the batch's longest merged sequence:
+        # the planes are L2cap=928 wide but merged reads are ~2x250,
+        # and the f64 gather + plen shifted adds dominate this pass
+        Smax = max(int(seq_len.max(initial=0)), 1)
+        nt = IUPAC_FORWARD[r["ascii"][:, :Smax] & 0x1F]
+        probs = self._ptbl[r["pidx"][:, :Smax]]
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            # vectorized oracle.log1mexp: both branches computed with
+            # the same scalar functions, selected elementwise
+            notprobs = np.where(probs > math.log(2),
+                                np.log1p(-np.exp(-probs)),
+                                np.log(-np.expm1(-probs)))
+        fo = _compute_offsets_vec(cfg.threshold, cfg.primer_penalty,
+                                  False, nt, probs, notprobs, seq_len,
+                                  fwd) if need_f else None
+        ro = _compute_offsets_vec(cfg.threshold, cfg.primer_penalty,
+                                  True, nt, probs, notprobs, seq_len,
+                                  rev) if need_r else None
+        return fo, ro
+
+    def _post_primers_and_threshold(self, res, pre=None, b=0):
+        """pre: optional (fwd_offsets, rev_offsets) arrays from
+        _post_primer_offsets_batch — row ``b`` replaces the scalar
+        oracle calls bit-for-bit."""
         cfg = self.cfg
         if cfg.post_primers:
             if cfg.forward_primer is not None and len(cfg.forward_primer):
-                off = oracle.compute_offset_result(
-                    cfg.threshold, cfg.primer_penalty, False,
-                    res.sequence_nt, res.sequence_p, res.sequence_length,
-                    cfg.forward_primer)
+                off = int(pre[0][b]) if pre is not None else \
+                    oracle.compute_offset_result(
+                        cfg.threshold, cfg.primer_penalty, False,
+                        res.sequence_nt, res.sequence_p,
+                        res.sequence_length, cfg.forward_primer)
                 if off == 0:
                     self.counters.nofp += 1
                     return "NOFP"
@@ -1991,10 +2041,11 @@ class BatchAssembler:
             else:
                 res.forward_offset = cfg.forward_trim
             if cfg.reverse_primer is not None and len(cfg.reverse_primer):
-                off = oracle.compute_offset_result(
-                    cfg.threshold, cfg.primer_penalty, True,
-                    res.sequence_nt, res.sequence_p, res.sequence_length,
-                    cfg.reverse_primer)
+                off = int(pre[1][b]) if pre is not None else \
+                    oracle.compute_offset_result(
+                        cfg.threshold, cfg.primer_penalty, True,
+                        res.sequence_nt, res.sequence_p,
+                        res.sequence_length, cfg.reverse_primer)
                 if off == 0:
                     self.counters.norp += 1
                     return "NORP"

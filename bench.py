@@ -397,11 +397,22 @@ def kernel_capability(st, state, beat):
          "cand": (cand, (B,), jnp.int32)},
         stacked, flen, rlen, khi=khi)
     full_ms, f_ms, c_ms = ms["full"], ms["frames"], ms["cand"]
+    ops_exec = 2.0 * _tri_macs(B, O)
+    ops_dense = 2.0 * B * float(O) ** 3
+    # physical sanity gate: a slope implying > 100% of int8 peak is a
+    # timing artifact (t1 samples caught slow windows, t_khi a fast
+    # one — observed 0.32 ms "= 173% of peak" in one window); such a
+    # sample must never become the recorded capability number
+    ms_floor = ops_exec / V5E_INT8_PEAK * 1e3
+    if full_ms < ms_floor and not os.environ.get("BENCH_FORCE_CPU"):
+        log(f"kernel slope {full_ms:.2f} ms is below the physical "
+            f"bound {ms_floor:.2f} ms (100% int8 peak) — discarding "
+            f"this sample as window jitter")
+        beat()
+        return None
     state["kernel_compute_ms"] = round(full_ms, 2)
     state["kernel_pairs_per_sec"] = round(B / (full_ms * 1e-3), 0)
     state["kernel_B"], state["kernel_L"], state["kernel_O"] = B, L, O
-    ops_exec = 2.0 * _tri_macs(B, O)
-    ops_dense = 2.0 * B * float(O) ** 3
     state["mfu_compute_pct"] = round(
         100.0 * ops_exec / (full_ms * 1e-3 * V5E_INT8_PEAK), 2)
     state["mfu_dense_equiv_pct"] = round(

@@ -152,6 +152,13 @@ def test_cli_primers_and_penalty():
     for extra in (["-p", FWD_PRIMER, "-q", REV_PRIMER],
                   ["-p", FWD_PRIMER, "-q", REV_PRIMER, "-D", "0.1"],
                   ["-a", "-p", FWD_PRIMER, "-q", REV_PRIMER],
+                  # post-assembly primers with penalty and one-sided
+                  # variants: pins the BATCHED post-primer scan
+                  # (_post_primer_offsets_batch) against the reference
+                  ["-a", "-p", FWD_PRIMER, "-q", REV_PRIMER, "-D",
+                   "0.001"],
+                  ["-a", "-q", REV_PRIMER, "-t", "0.3"],
+                  ["-a", "-p", FWD_PRIMER, "-D", "0.1"],
                   ["-p", "5", "-q", "7"]):
         ref = run_ref(base + extra)
         got = run_cli(base + extra)
